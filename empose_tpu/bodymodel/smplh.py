@@ -1,0 +1,343 @@
+"""SMPL-H body model, TPU-native: blendshapes + kinematic tree FK + LBS in JAX.
+
+This is the in-repo replacement for the reference's external
+``human_body_prior.body_model.BodyModel`` dependency (loaded at reference:
+empose/bodymodels/smpl.py:42 and invoked at smpl.py:121). It implements the
+same math — shape blendshapes, pose blendshapes, joint regression, forward
+kinematics over the fixed 52-joint SMPL-H tree, linear blend skinning — as a
+single fused jittable function. Numerical conventions (Rodrigues epsilon,
+blendshape ordering) follow the smplx/human_body_prior lbs implementation the
+reference delegates to, so outputs match the reference to f32 precision.
+
+TPU-first design notes:
+  * Everything is static-shaped; the 52-joint FK is unrolled (52 fixed 3x3
+    matmuls) so XLA fuses the whole chain.
+  * ``vertex_subset`` restricts LBS/blendshape rows to the handful of vertices
+    the EM-sensor pipeline actually reads (~tens instead of 6890) — the
+    reference always skins the full mesh even though the training/IEF paths
+    only consume 12 marker vertices + their one-ring (see
+    empose/data/virtual_sensors.py:61-83). This is a >100x FLOP cut on the
+    hottest path.
+  * The full-mesh path routes the (V x J) skinning contraction through plain
+    einsums that XLA maps onto the MXU; a fused Pallas variant lives in
+    empose_tpu/ops/skinning.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HI = lax.Precision.HIGHEST
+
+from empose_tpu import constants as C
+from empose_tpu.ops import mesh as mesh_ops
+from empose_tpu.ops.so3 import aa2rot, rot2aa
+
+
+def rodrigues(rot_vecs: jnp.ndarray) -> jnp.ndarray:
+    """Angle-axis (..., 3) -> rotation matrices (..., 3, 3), smplx convention.
+
+    Matches the ``batch_rodrigues`` the reference's BodyModel uses internally:
+    the angle is ``||aa + 1e-8||`` (a small constant added to the components,
+    not a clamp — this differs from empose/helpers/so3.py:87-131 and matters
+    for bit-level parity of FK outputs near zero pose).
+    """
+    angle = jnp.linalg.norm(rot_vecs + 1e-8, axis=-1, keepdims=True)
+    rot_dir = rot_vecs / angle
+    cos = jnp.cos(angle)[..., None]
+    sin = jnp.sin(angle)[..., None]
+    rx, ry, rz = rot_dir[..., 0], rot_dir[..., 1], rot_dir[..., 2]
+    zeros = jnp.zeros_like(rx)
+    K = jnp.stack(
+        [zeros, -rz, ry, rz, zeros, -rx, -ry, rx, zeros], axis=-1
+    ).reshape(rot_vecs.shape[:-1] + (3, 3))
+    ident = jnp.eye(3, dtype=rot_vecs.dtype)
+    return ident + sin * K + (1.0 - cos) * jnp.matmul(K, K, precision=_HI)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SMPLHModel:
+    """SMPL-H parameters as a pytree; static topology kept on the host.
+
+    Array fields (pytree leaves):
+      v_template: (V, 3)           rest-pose template vertices
+      shapedirs:  (V, 3, B)        shape blendshapes
+      posedirs:   (P, V*3)         pose blendshapes, P = (J-1)*9, pre-transposed
+      j_regressor:(J, V)           joint regressor
+      weights:    (V, J)           LBS weights
+    Static fields (aux data):
+      parents:    tuple of J ints  kinematic tree, parents[0] == -1
+      faces:      (F, 3) numpy     mesh topology
+      vertex_ids: original mesh vertex id per row (None = full mesh)
+    """
+
+    v_template: jnp.ndarray
+    shapedirs: jnp.ndarray
+    posedirs: jnp.ndarray
+    j_regressor: jnp.ndarray
+    weights: jnp.ndarray
+    parents: Tuple[int, ...] = field(default=())
+    faces: Optional[np.ndarray] = field(default=None, repr=False)
+    vertex_ids: Optional[Tuple[int, ...]] = field(default=None, repr=False)
+
+    # -- pytree plumbing ---------------------------------------------------
+    def tree_flatten(self):
+        leaves = (self.v_template, self.shapedirs, self.posedirs, self.j_regressor, self.weights)
+        aux = (self.parents, self.faces, self.vertex_ids)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, parents=aux[0], faces=aux[1], vertex_ids=aux[2])
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def n_vertices(self) -> int:
+        return self.v_template.shape[0]
+
+    @property
+    def n_joints(self) -> int:
+        return self.j_regressor.shape[0]
+
+    @property
+    def n_betas(self) -> int:
+        return self.shapedirs.shape[-1]
+
+    # -- derived topology ----------------------------------------------------
+    def vertex_faces(self) -> np.ndarray:
+        """Host-side vertex->face incidence (reference smpl.py:58-67)."""
+        return mesh_ops.vertex_face_indices(self.n_vertices, self.faces)
+
+    def subset(self, vertex_ids: Sequence[int]) -> "SMPLHModel":
+        """Restrict the skinned vertex set to ``vertex_ids`` (rows of LBS tables).
+
+        Joint regression still uses the full template (j_regressor is defined
+        over all mesh vertices), so joints are unchanged; only the per-vertex
+        outputs shrink.
+        """
+        idx = np.asarray(list(vertex_ids), dtype=np.int64)
+        v3 = (idx[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
+        return replace(
+            self,
+            v_template=self.v_template,  # kept full for J regression
+            shapedirs=self.shapedirs,
+            posedirs=self.posedirs[:, v3],
+            weights=self.weights[idx],
+            vertex_ids=tuple(int(i) for i in idx),
+        )
+
+    def subset_row(self, original_vertex_id: int) -> int:
+        """Row index of an original mesh vertex id within this subset model."""
+        assert self.vertex_ids is not None
+        return self.vertex_ids.index(original_vertex_id)
+
+
+def load_smplh(npz_path: Optional[str] = None, num_betas: int = C.N_SHAPE_PARAMS, dtype=jnp.float32) -> SMPLHModel:
+    """Load SMPL-H from the AMASS-style npz (reference smpl.py:26, 42).
+
+    Expected keys: v_template, shapedirs, posedirs, J_regressor, weights,
+    kintree_table, f. Missing assets raise with a pointer to the synthetic
+    generator (tools/make_synthetic_assets.py).
+    """
+    npz_path = npz_path or C.default_smplh_path()
+    if not os.path.exists(npz_path):
+        raise FileNotFoundError(
+            f"SMPL-H model not found at {npz_path}. Set $SMPL_MODELS or generate "
+            "synthetic assets with `python tools/make_synthetic_assets.py`."
+        )
+    data = np.load(npz_path, allow_pickle=True)
+    v_template = np.asarray(data["v_template"], dtype=np.float64)
+    shapedirs = np.asarray(data["shapedirs"], dtype=np.float64)[..., :num_betas]
+    posedirs = np.asarray(data["posedirs"], dtype=np.float64)
+    # smplx convention: (V, 3, P) -> (P, V*3)
+    posedirs = posedirs.reshape(-1, posedirs.shape[-1]).T
+    j_regressor = np.asarray(data["J_regressor"], dtype=np.float64)
+    weights = np.asarray(data["weights"], dtype=np.float64)
+    kintree = np.asarray(data["kintree_table"], dtype=np.int64)
+    parents = kintree[0].copy()
+    parents[0] = -1
+    faces = np.asarray(data["f"], dtype=np.int64)
+    return SMPLHModel(
+        v_template=jnp.asarray(v_template, dtype=dtype),
+        shapedirs=jnp.asarray(shapedirs, dtype=dtype),
+        posedirs=jnp.asarray(posedirs, dtype=dtype),
+        j_regressor=jnp.asarray(j_regressor, dtype=dtype),
+        weights=jnp.asarray(weights, dtype=dtype),
+        parents=tuple(int(p) for p in parents),
+        faces=faces,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward kinematics + LBS
+# ---------------------------------------------------------------------------
+
+def _rigid_transform_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: Tuple[int, ...]):
+    """Global joint transforms over the fixed tree (smplx batch_rigid_transform).
+
+    :param rot_mats: (N, J, 3, 3); :param joints: (N, J, 3) rest joints.
+    :return: posed joints (N, J, 3), relative transforms A (N, J, 4, 4).
+    """
+    n, j = joints.shape[0], joints.shape[1]
+    rel_joints = joints.at[:, 1:].add(-joints[:, list(parents[1:])])
+
+    # Unrolled chain of 4x4 composes — J is a compile-time constant (22/52).
+    rots = [rot_mats[:, i] for i in range(j)]
+    locs = [rel_joints[:, i] for i in range(j)]
+    glob_rot = [None] * j
+    glob_pos = [None] * j
+    glob_rot[0] = rots[0]
+    glob_pos[0] = locs[0]
+    for i in range(1, j):
+        p = parents[i]
+        glob_rot[i] = jnp.matmul(glob_rot[p], rots[i], precision=_HI)
+        glob_pos[i] = jnp.einsum("nab,nb->na", glob_rot[p], locs[i], precision=_HI) + glob_pos[p]
+    R = jnp.stack(glob_rot, axis=1)  # (N, J, 3, 3)
+    t = jnp.stack(glob_pos, axis=1)  # (N, J, 3)
+
+    # A = [R | t - R @ j_rest] (the smplx 'relative transform' for skinning).
+    t_skin = t - jnp.einsum("njab,njb->nja", R, joints, precision=_HI)
+    return t, R, t_skin
+
+
+def smplh_fk(
+    model: SMPLHModel,
+    poses_body: jnp.ndarray,
+    betas: jnp.ndarray,
+    poses_root: Optional[jnp.ndarray] = None,
+    trans: Optional[jnp.ndarray] = None,
+    poses_hands: Optional[jnp.ndarray] = None,
+    want_vertices: bool = True,
+):
+    """Evaluate SMPL-H: (pose, shape) -> (vertices, joints).
+
+    Semantics of reference SMPLLayer._fk (smpl.py:81-122): hand poses default
+    to zero, root/trans default to zero, betas broadcast over the batch and
+    truncated to the model's beta count.
+
+    :param poses_body: (N, 63+) body pose angle-axis (extra dofs ignored).
+    :param betas: (N, B) or (B,) or (1, B).
+    :param poses_root: (N, 3) or None; :param trans: (N, 3) or None.
+    :param poses_hands: (N, 90) or None (zeros).
+    :param want_vertices: if False, skip LBS entirely (metrics path).
+    :return: (vertices (N, V_subset, 3) or None, joints (N, J, 3))
+    """
+    n = poses_body.shape[0]
+    dtype = model.v_template.dtype
+    poses_body = poses_body[:, : C.N_JOINTS * 3].astype(dtype)
+    if poses_root is None:
+        poses_root = jnp.zeros((n, 3), dtype)
+    if trans is None:
+        trans = jnp.zeros((n, 3), dtype)
+    n_hand_dofs = (model.n_joints - 1 - C.N_JOINTS) * 3
+    if poses_hands is None:
+        poses_hands = jnp.zeros((n, n_hand_dofs), dtype)
+    if betas.ndim == 1:
+        betas = betas[None]
+    if betas.shape[0] == 1:
+        betas = jnp.broadcast_to(betas, (n, betas.shape[1]))
+    betas = betas[:, : model.n_betas].astype(dtype)
+
+    full_pose = jnp.concatenate([poses_root.astype(dtype), poses_body, poses_hands.astype(dtype)], axis=-1)
+    rot_mats = rodrigues(full_pose.reshape(n, model.n_joints, 3))
+
+    # Shape blendshapes + joint regression (on the full template).
+    v_shaped = model.v_template[None] + jnp.einsum("vdb,nb->nvd", model.shapedirs, betas, precision=_HI)
+    j_rest = jnp.einsum("jv,nvd->njd", model.j_regressor, v_shaped, precision=_HI)
+
+    joints_posed, R_glob, t_skin = _rigid_transform_chain(rot_mats, j_rest, model.parents)
+    joints_out = joints_posed + trans[:, None]
+
+    if not want_vertices:
+        return None, joints_out
+
+    # Pose blendshapes on the (possibly subset) skinned vertex rows.
+    ident = jnp.eye(3, dtype=dtype)
+    pose_feature = (rot_mats[:, 1:] - ident).reshape(n, -1)
+    pose_offsets = jnp.matmul(pose_feature, model.posedirs, precision=_HI).reshape(n, -1, 3)
+
+    if model.vertex_ids is not None:
+        rows = jnp.asarray(np.asarray(model.vertex_ids))
+        v_rest = v_shaped[:, rows]
+    else:
+        v_rest = v_shaped
+    v_posed = v_rest + pose_offsets
+
+    # LBS: blend global transforms per vertex. W:(Vs, J); R_glob:(N, J, 3, 3).
+    Rw = jnp.einsum("vj,njab->nvab", model.weights, R_glob, precision=_HI)
+    tw = jnp.einsum("vj,nja->nva", model.weights, t_skin, precision=_HI)
+    verts = jnp.einsum("nvab,nvb->nva", Rw, v_posed, precision=_HI) + tw + trans[:, None]
+    return verts, joints_out
+
+
+def smplh_fk_normalized_root(model, poses_body, betas, poses_root, trans, **kw):
+    """FK with root normalized to frame 0 (reference smpl.py:112-119).
+
+    Frame 0's root orientation becomes identity and its translation the origin.
+    Expects time along the leading axis (the reference applies this to single
+    sequences).
+    """
+    root_ori = aa2rot(poses_root)
+    first_inv = jnp.swapaxes(root_ori[0:1], -1, -2)
+    root_ori = jnp.matmul(first_inv, root_ori)
+    poses_root = rot2aa(root_ori)
+    trans = jnp.einsum("ab,nb->na", first_inv[0], trans, precision=_HI)
+    trans = trans - trans[0:1]
+    return smplh_fk(model, poses_body, betas, poses_root, trans, **kw)
+
+
+class SMPLLayer:
+    """Convenience wrapper mirroring the reference SMPLLayer API (smpl.py:31-165).
+
+    Holds the model pytree plus cached topology; ``fk`` is jit-compiled with
+    static chunking handled by XLA (no host-side windowing needed — the
+    reference chunked to bound GPU memory, smpl.py:124-147; on TPU the fused
+    kernel streams HBM fine, but a ``window_size`` arg is accepted for API
+    compatibility and ignored).
+    """
+
+    def __init__(self, model: SMPLHModel):
+        self.model = model
+        self.num_betas = model.n_betas
+        self._fk_jit = jax.jit(partial(smplh_fk, want_vertices=True))
+        self._fk_joints_jit = jax.jit(partial(smplh_fk, want_vertices=False))
+
+    @property
+    def faces(self) -> np.ndarray:
+        return self.model.faces
+
+    def vertex_faces(self, n_vertices: Optional[int] = None) -> np.ndarray:
+        return self.model.vertex_faces()
+
+    def fk(self, poses_body, betas, poses_root=None, trans=None, normalize_root=False, window_size=None):
+        if normalize_root:
+            return smplh_fk_normalized_root(self.model, poses_body, betas, poses_root, trans)
+        return self._fk_jit(self.model, poses_body, betas, poses_root, trans)
+
+    def fk_joints(self, poses_body, betas, poses_root=None, trans=None):
+        return self._fk_joints_jit(self.model, poses_body, betas, poses_root, trans)[1]
+
+    def vertex_normals(self, vertices, output_vertex_ids=None):
+        """Unnormalized vertex normals over the full mesh (reference smpl.py:69-79)."""
+        vf = jnp.asarray(self.model.vertex_faces())
+        normals, _ = mesh_ops.compute_vertex_and_face_normals(vertices, jnp.asarray(self.model.faces), vf)
+        if output_vertex_ids is not None:
+            normals = normals[:, jnp.asarray(output_vertex_ids)]
+        return normals
+
+    def __call__(self, *args, **kwargs):
+        return self.fk(*args, **kwargs)
+
+
+def create_default_smpl_model(npz_path: Optional[str] = None) -> SMPLLayer:
+    """Factory mirroring reference create_default_smpl_model (smpl.py:24-28)."""
+    return SMPLLayer(load_smplh(npz_path))

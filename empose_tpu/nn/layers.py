@@ -1,0 +1,357 @@
+"""Layer library: Linear / BatchNorm / PReLU / MLP / residual blocks / LSTM.
+
+Functional re-design of the reference layer library (reference:
+empose/nn/layers.py:13-183). Every layer is a pair of pure functions
+``*_init(key, ...) -> (params, state)`` and ``*_apply(params, state, x, ...)
+-> (y, new_state)`` over plain-dict pytrees.
+
+Parameter layout convention: weights are stored TRANSPOSED relative to torch
+(``w`` is (in, out) so the forward pass is ``x @ w + b``), LSTM gate order is
+torch's (i, f, g, o), and BatchNorm keeps torch's running-stat semantics —
+this makes the torch ``.pth`` checkpoint bridge (empose_tpu/checkpoint) a pure
+transpose-and-rename, with zero re-layout ambiguity.
+
+The LSTM is a masked ``lax.scan`` reproducing torch's
+``pack_padded_sequence(enforce_sorted=False)`` semantics (reference
+layers.py:146-153): padded frames never update the recurrent state, outputs at
+padded frames are zero, and the reverse direction of a bidirectional LSTM runs
+over the true lengths only (per-sample time reversal, not a naive flip).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_HI = lax.Precision.HIGHEST
+
+Params = Dict
+State = Dict
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Primitives
+# ---------------------------------------------------------------------------
+
+def linear_init(key, in_size: int, out_size: int) -> Params:
+    """Torch nn.Linear default init: U(-1/sqrt(in), 1/sqrt(in)) for w and b."""
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_size)
+    return {
+        "w": jax.random.uniform(k1, (in_size, out_size), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(k2, (out_size,), jnp.float32, -bound, bound),
+    }
+
+
+def linear_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.matmul(x, params["w"], precision=_HI) + params["b"]
+
+
+def batch_norm_init(key, size: int, uniform_weight: bool = True) -> Tuple[Params, State]:
+    """BatchNorm1d; the reference uniform-initializes bn.weight (layers.py:26-27)."""
+    scale = jax.random.uniform(key, (size,), jnp.float32) if uniform_weight else jnp.ones((size,), jnp.float32)
+    params = {"scale": scale, "bias": jnp.zeros((size,), jnp.float32)}
+    state = {"mean": jnp.zeros((size,), jnp.float32), "var": jnp.ones((size,), jnp.float32)}
+    return params, state
+
+
+def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, State]:
+    """Torch semantics: biased variance for normalization, unbiased for the
+    running stat; running = (1 - m) * running + m * batch."""
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.mean(jnp.square(x - mean), axis=axes)
+        count = x.size // x.shape[-1]
+        unbiased = var * (count / max(count - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    y = (x - mean) * lax.rsqrt(var + BN_EPS) * params["scale"] + params["bias"]
+    return y, new_state
+
+
+def prelu_init(key) -> Params:
+    return {"alpha": jnp.full((1,), 0.25, jnp.float32)}
+
+
+def prelu_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, params["alpha"] * x)
+
+
+def dropout_apply(x: jnp.ndarray, p: float, train: bool, key) -> jnp.ndarray:
+    if not train or p <= 0.0 or key is None:
+        return x
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# LinearLayers: [Linear -> BN? -> PReLU -> Dropout] x n (+ optional input skip)
+# Reference: layers.py:13-43.
+# ---------------------------------------------------------------------------
+
+def linear_layers_init(key, hidden_size: int, num_layers: int = 2, use_batch_norm: bool = True):
+    params, state = {"blocks": []}, {"blocks": []}
+    for i in range(num_layers):
+        key, k_lin, k_bn, k_pr = jax.random.split(key, 4)
+        block_p = {"linear": linear_init(k_lin, hidden_size, hidden_size), "prelu": prelu_init(k_pr)}
+        block_s = {}
+        if use_batch_norm:
+            block_p["bn"], block_s["bn"] = batch_norm_init(k_bn, hidden_size)
+        params["blocks"].append(block_p)
+        state["blocks"].append(block_s)
+    return params, state
+
+
+def linear_layers_apply(params, state, x, *, use_skip: bool, dropout_p: float = 0.0,
+                        train: bool = False, key=None):
+    y = x
+    new_blocks = []
+    for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
+        y = linear_apply(bp["linear"], y)
+        nbs = {}
+        if "bn" in bp:
+            y, nbs["bn"] = batch_norm_apply(bp["bn"], bs["bn"], y, train)
+        y = prelu_apply(bp["prelu"], y)
+        if dropout_p > 0.0 and train and key is not None:
+            key, sub = jax.random.split(key)
+            y = dropout_apply(y, dropout_p, train, sub)
+        new_blocks.append(nbs)
+    out = x + y if use_skip else y
+    return out, {"blocks": new_blocks}
+
+
+# ---------------------------------------------------------------------------
+# MLP: in-proj -> BN? -> PReLU -> Dropout -> LinearLayers x n -> out-proj
+# Reference: layers.py:46-77.
+# ---------------------------------------------------------------------------
+
+def mlp_init(key, input_size: int, output_size: int, hidden_size: int, num_layers: int = 2,
+             use_batch_norm: bool = True):
+    k_in, k_bn, k_pr, k_hidden, k_out = jax.random.split(key, 5)
+    params = {
+        "input_to_hidden": linear_init(k_in, input_size, hidden_size),
+        "prelu": prelu_init(k_pr),
+        "hidden_to_output": linear_init(k_out, hidden_size, output_size),
+    }
+    state = {}
+    if use_batch_norm:
+        params["bn"], state["bn"] = batch_norm_init(k_bn, hidden_size)
+    hp, hs = [], []
+    for i in range(num_layers):
+        k_hidden, sub = jax.random.split(k_hidden)
+        p, s = linear_layers_init(sub, hidden_size, num_layers=2, use_batch_norm=use_batch_norm)
+        hp.append(p)
+        hs.append(s)
+    params["hidden_layers"] = hp
+    state["hidden_layers"] = hs
+    return params, state
+
+
+def mlp_apply(params, state, x, *, skip_connection: bool = False, dropout_p: float = 0.0,
+              train: bool = False, key=None):
+    y = linear_apply(params["input_to_hidden"], x)
+    new_state = {}
+    if "bn" in params:
+        y, new_state["bn"] = batch_norm_apply(params["bn"], state["bn"], y, train)
+    y = prelu_apply(params["prelu"], y)
+    if dropout_p > 0.0 and train and key is not None:
+        key, sub = jax.random.split(key)
+        y = dropout_apply(y, dropout_p, train, sub)
+    new_hidden = []
+    for hp, hs in zip(params["hidden_layers"], state["hidden_layers"]):
+        if key is not None:
+            key, sub = jax.random.split(key)
+        else:
+            sub = None
+        y, ns = linear_layers_apply(hp, hs, y, use_skip=skip_connection, dropout_p=dropout_p,
+                                    train=train, key=sub)
+        new_hidden.append(ns)
+    new_state["hidden_layers"] = new_hidden
+    y = linear_apply(params["hidden_to_output"], y)
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# FeedForwardResidualBlock: Linear + add + ReLU (reference layers.py:170-182).
+# ---------------------------------------------------------------------------
+
+def residual_block_init(key, size: int) -> Params:
+    return {"dense": linear_init(key, size, size)}
+
+
+def residual_block_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.relu(linear_apply(params["dense"], x) + x)
+
+
+# ---------------------------------------------------------------------------
+# LSTM (masked scan; torch pack_padded semantics)
+# ---------------------------------------------------------------------------
+
+def lstm_init(key, input_size: int, hidden_size: int, num_layers: int, bidirectional: bool = False):
+    """Torch nn.LSTM default init: all weights/biases U(-1/sqrt(H), 1/sqrt(H)).
+
+    Param tree: {"layers": [ {"fwd": cell, "bwd": cell?} ... ]} where cell has
+    w_ih (in, 4H), w_hh (H, 4H), b_ih (4H,), b_hh (4H,); gate order (i, f, g, o).
+    """
+    bound = 1.0 / math.sqrt(hidden_size)
+    dirs = ["fwd", "bwd"] if bidirectional else ["fwd"]
+    layers = []
+    for l in range(num_layers):
+        in_size = input_size if l == 0 else hidden_size * len(dirs)
+        layer = {}
+        for d in dirs:
+            key, k1, k2, k3, k4 = jax.random.split(key, 5)
+            layer[d] = {
+                "w_ih": jax.random.uniform(k1, (in_size, 4 * hidden_size), jnp.float32, -bound, bound),
+                "w_hh": jax.random.uniform(k2, (hidden_size, 4 * hidden_size), jnp.float32, -bound, bound),
+                "b_ih": jax.random.uniform(k3, (4 * hidden_size,), jnp.float32, -bound, bound),
+                "b_hh": jax.random.uniform(k4, (4 * hidden_size,), jnp.float32, -bound, bound),
+            }
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
+    """Run one LSTM direction over time with state frozen on masked steps.
+
+    :param x: (F, N, I); :param mask: (F, N) 1.0 where valid.
+    :return: (outputs (F, N, H) zeroed at masked steps, (hF, cF)).
+    """
+    hidden = cell["w_hh"].shape[0]
+    # Input projection for ALL timesteps at once -> one big MXU matmul.
+    x_proj = jnp.matmul(x, cell["w_ih"], precision=_HI) + cell["b_ih"] + cell["b_hh"]
+
+    def step(carry, inp):
+        h, c = carry
+        xp, m = inp
+        gates = xp + jnp.matmul(h, cell["w_hh"], precision=_HI)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        m1 = m[:, None]
+        h = jnp.where(m1 > 0, h_new, h)
+        c = jnp.where(m1 > 0, c_new, c)
+        out = h_new * m1
+        return (h, c), out
+
+    (hF, cF), outs = lax.scan(step, (h0, c0), (x_proj, mask))
+    return outs, (hF, cF)
+
+
+def _reverse_by_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample reversal of the valid prefix of a (F, N, ...) tensor."""
+    f = x.shape[0]
+    t = jnp.arange(f)[:, None]  # (F, 1)
+    idx = jnp.where(t < lengths[None, :], lengths[None, :] - 1 - t, t)  # (F, N)
+    return jnp.take_along_axis(x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=0)
+
+
+def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
+               init_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+    """Multi-layer (bi)LSTM over a padded batch.
+
+    :param x: (N, F, I) batch-first input.
+    :param lengths: (N,) int true lengths.
+    :param init_state: optional (h0, c0), each (num_layers * num_dirs, N, H),
+      layer-major with direction fastest (torch layout).
+    :return: (outputs (N, F, H * dirs), (hF, cF) in torch layout). Outputs at
+      padded steps are zero; final states are taken at each sample's last
+      valid step (forward) / first step (reverse), matching packed-sequence
+      semantics.
+    """
+    layers = params["layers"]
+    bidirectional = "bwd" in layers[0]
+    n, f = x.shape[0], x.shape[1]
+    hidden = layers[0]["fwd"]["w_hh"].shape[0]
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(x.dtype)  # (F, N)
+
+    xt = jnp.swapaxes(x, 0, 1)  # (F, N, I)
+    num_dirs = 2 if bidirectional else 1
+
+    if init_state is None:
+        h0_all = jnp.zeros((len(layers) * num_dirs, n, hidden), x.dtype)
+        c0_all = h0_all
+    else:
+        h0_all, c0_all = init_state
+
+    h_finals, c_finals = [], []
+    for l, layer in enumerate(layers):
+        fwd_idx = l * num_dirs
+        outs_f, (hF_f, cF_f) = _lstm_cell_scan(layer["fwd"], xt, mask, h0_all[fwd_idx], c0_all[fwd_idx])
+        if bidirectional:
+            xt_rev = _reverse_by_length(xt, lengths)
+            outs_b, (hF_b, cF_b) = _lstm_cell_scan(layer["bwd"], xt_rev, mask,
+                                                   h0_all[fwd_idx + 1], c0_all[fwd_idx + 1])
+            outs_b = _reverse_by_length(outs_b, lengths)
+            xt = jnp.concatenate([outs_f, outs_b], axis=-1)
+            h_finals += [hF_f, hF_b]
+            c_finals += [cF_f, cF_b]
+        else:
+            xt = outs_f
+            h_finals.append(hF_f)
+            c_finals.append(cF_f)
+
+    outputs = jnp.swapaxes(xt, 0, 1)  # (N, F, H * dirs)
+    return outputs, (jnp.stack(h_finals), jnp.stack(c_finals))
+
+
+# ---------------------------------------------------------------------------
+# RNNLayer: input dropout + (learned) init state + LSTM + optional out proj
+# Reference: layers.py:80-167. Streaming state is an EXPLICIT carry here
+# (the reference mutates self.init_state/final_state across calls).
+# ---------------------------------------------------------------------------
+
+def rnn_layer_init(key, input_size: int, hidden_size: int, num_layers: int,
+                   output_size: Optional[int] = None, bidirectional: bool = False,
+                   learn_init_state: bool = False):
+    k_lstm, k_h, k_c, k_out = jax.random.split(key, 4)
+    num_dirs = 2 if bidirectional else 1
+    params = {"lstm": lstm_init(k_lstm, input_size, hidden_size, num_layers, bidirectional)}
+    if learn_init_state:
+        params["to_init_state_h"] = linear_init(k_h, input_size, hidden_size * num_layers * num_dirs)
+        params["to_init_state_c"] = linear_init(k_c, input_size, hidden_size * num_layers * num_dirs)
+    if output_size is not None:
+        params["to_out"] = linear_init(k_out, hidden_size * num_dirs, output_size)
+    return params
+
+
+def rnn_layer_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
+                    carry=None, *, num_layers: int, hidden_size: int,
+                    dropout_p: float = 0.0, train: bool = False, key=None):
+    """:param carry: previous final state (streaming windows) or None.
+
+    Replicates a reference quirk for checkpoint parity: cell_init returns
+    ``(c0, h0)`` (layers.py:121-131), so torch's h-slot receives the output of
+    ``to_init_state_c`` and vice versa. We reproduce that wiring exactly.
+    """
+    x = dropout_apply(x, dropout_p, train, key)
+    init_state = carry
+    if init_state is None and "to_init_state_h" in params:
+        n = x.shape[0]
+        first = x[:, 0]
+        c0 = linear_apply(params["to_init_state_c"], first).reshape(n, num_layers, hidden_size)
+        h0 = linear_apply(params["to_init_state_h"], first).reshape(n, num_layers, hidden_size)
+        c0 = jnp.swapaxes(c0, 0, 1)
+        h0 = jnp.swapaxes(h0, 0, 1)
+        # Reference passes (c0, h0) into torch's (h_0, c_0) slots.
+        init_state = (c0, h0)
+    out, final_state = lstm_apply(params["lstm"], x, lengths, init_state)
+    if "to_out" in params:
+        out = linear_apply(params["to_out"], out)
+    return out, final_state

@@ -1,0 +1,135 @@
+"""Layer parity: JAX layers vs torch oracles via the state-dict mapping."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from empose_tpu.nn import layers as L
+from empose_tpu.checkpoint import mapping as M
+from tests.torch_ref.layers import TorchMLP, TorchRNNLayer, TorchFeedForwardResidualBlock
+
+
+def sd_numpy(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_linear_parity():
+    torch.manual_seed(0)
+    lin = torch.nn.Linear(7, 5)
+    x = torch.randn(4, 7)
+    p = M.convert_linear(sd_numpy(lin), "")
+    # prefix "" yields keys ".weight"; emulate with direct dict
+    p = {"w": jnp.asarray(lin.weight.detach().numpy().T), "b": jnp.asarray(lin.bias.detach().numpy())}
+    y = L.linear_apply(p, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y), lin(x).detach().numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_bn", [True, False])
+@pytest.mark.parametrize("skip", [True, False])
+def test_mlp_parity_eval(use_bn, skip):
+    torch.manual_seed(1)
+    mlp = TorchMLP(10, 4, 16, num_layers=2, skip_connection=skip, use_batch_norm=use_bn)
+    # Give BN non-trivial running stats.
+    mlp.train()
+    for _ in range(3):
+        mlp(torch.randn(32, 10))
+    mlp.eval()
+
+    params, state = M.convert_mlp(sd_numpy(mlp), "", num_layers=2, use_batch_norm=use_bn)
+    # strip the leading "." the empty prefix produced? mapping uses f"{prefix}.input_to_hidden"
+    x = torch.randn(6, 10)
+    y_t = mlp(x).detach().numpy()
+    y_j, _ = L.mlp_apply(params, state, jnp.asarray(x.numpy()), skip_connection=skip, train=False)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+
+
+def test_mlp_parity_train_mode_batch_stats():
+    torch.manual_seed(2)
+    mlp = TorchMLP(8, 3, 12, num_layers=1, use_batch_norm=True)
+    params, state = M.convert_mlp(sd_numpy(mlp), "", num_layers=1, use_batch_norm=True)
+    mlp.train()
+    x = torch.randn(16, 8)
+    y_t = mlp(x).detach().numpy()
+    y_j, new_state = L.mlp_apply(params, state, jnp.asarray(x.numpy()), train=True)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+    # Running stats must match torch's update.
+    sd_after = sd_numpy(mlp)
+    np.testing.assert_allclose(np.asarray(new_state["bn"]["mean"]),
+                               sd_after["batch_norm.running_mean"], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["bn"]["var"]),
+                               sd_after["batch_norm.running_var"], atol=1e-5)
+
+
+def test_residual_block_parity():
+    torch.manual_seed(3)
+    blk = TorchFeedForwardResidualBlock(9, 9)
+    p = M.convert_residual_block(sd_numpy(blk), "")
+    x = torch.randn(5, 9)
+    y_j = L.residual_block_apply(p, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), blk(x).detach().numpy(), atol=1e-6)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_lstm_packed_parity(bidirectional, num_layers):
+    torch.manual_seed(4)
+    rnn = TorchRNNLayer(6, 8, num_layers, bidirectional=bidirectional)
+    rnn.eval()
+    params = M.convert_rnn_layer(sd_numpy(rnn), "", num_layers, bidirectional)
+
+    n, f = 3, 7
+    x = torch.randn(n, f, 6)
+    lengths = torch.tensor([7, 4, 1])
+    y_t = rnn(x, lengths).detach().numpy()
+    hT, cT = rnn.final_state
+
+    y_j, (hJ, cJ) = L.rnn_layer_apply(params, jnp.asarray(x.numpy()), jnp.asarray(lengths.numpy()),
+                                      num_layers=num_layers, hidden_size=8)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hJ), hT.detach().numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(cJ), cT.detach().numpy(), atol=2e-5)
+
+
+def test_lstm_streaming_state_carry():
+    """Chunked eval: state carried across windows == one long pass (reference
+    streaming semantics, layers.py:108-109, models.py:299-302)."""
+    torch.manual_seed(5)
+    rnn = TorchRNNLayer(5, 6, 2)
+    params = M.convert_rnn_layer(sd_numpy(rnn), "", 2, False)
+    n, f = 2, 8
+    x = np.random.RandomState(0).randn(n, f, 5).astype(np.float32)
+    lengths = jnp.asarray([f, f])
+
+    full, _ = L.rnn_layer_apply(params, jnp.asarray(x), lengths, num_layers=2, hidden_size=6)
+
+    half = f // 2
+    l2 = jnp.asarray([half, half])
+    out1, carry = L.rnn_layer_apply(params, jnp.asarray(x[:, :half]), l2, num_layers=2, hidden_size=6)
+    out2, _ = L.rnn_layer_apply(params, jnp.asarray(x[:, half:]), l2, carry=carry, num_layers=2, hidden_size=6)
+    joined = np.concatenate([np.asarray(out1), np.asarray(out2)], axis=1)
+    np.testing.assert_allclose(joined, np.asarray(full), atol=1e-5)
+
+
+def test_lstm_learned_init_state_parity():
+    torch.manual_seed(6)
+    rnn = TorchRNNLayer(5, 6, 2, learn_init_state=True)
+    rnn.eval()
+    params = M.convert_rnn_layer(sd_numpy(rnn), "", 2, False, learn_init_state=True)
+    n, f = 3, 5
+    x = torch.randn(n, f, 5)
+    lengths = torch.tensor([5, 5, 3])
+    y_t = rnn(x, lengths).detach().numpy()
+    y_j, _ = L.rnn_layer_apply(params, jnp.asarray(x.numpy()), jnp.asarray(lengths.numpy()),
+                               num_layers=2, hidden_size=6)
+    np.testing.assert_allclose(np.asarray(y_j), y_t, atol=2e-5)
+
+
+def test_prelu_and_bn_primitives():
+    torch.manual_seed(7)
+    pr = torch.nn.PReLU()
+    x = torch.randn(4, 3)
+    y_j = L.prelu_apply({"alpha": jnp.asarray(pr.weight.detach().numpy())}, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(y_j), pr(x).detach().numpy(), atol=1e-7)
