@@ -120,3 +120,62 @@ def convert_rnn_layer(sd: Arrays, prefix: str, num_layers: int, bidirectional: b
 
 def convert_residual_block(sd: Arrays, prefix: str) -> Dict:
     return {"dense": convert_linear(sd, f"{prefix}.dense")}
+
+
+# ---------------------------------------------------------------------------
+# Model-level converters (reference module names from empose/nn/models.py)
+# ---------------------------------------------------------------------------
+
+def convert_feed_forward_resnet(sd: Arrays, config):
+    """FeedForwardResNet (reference models.py:166-220)."""
+    params = {"from_input": convert_linear(sd, "from_input")}
+    params["blocks"] = [convert_residual_block(sd, f"blocks.{i}") for i in range(config.m_num_layers)]
+    params["to_pose"] = convert_linear(sd, "to_pose")
+    state = {}
+    if config.m_estimate_shape:
+        params["to_shape"], state["to_shape"] = convert_mlp(sd, "to_shape", num_layers=2, use_batch_norm=False)
+    return params, state
+
+
+def convert_simple_rnn(sd: Arrays, config):
+    """SimpleRNN / BiRNN (reference models.py:265-321)."""
+    params = {
+        "rnn": convert_rnn_layer(sd, "rnn", config.m_num_layers, config.m_bidirectional,
+                                 learn_init_state=config.m_learn_init_state),
+        "to_pose": convert_linear(sd, "to_pose"),
+    }
+    state = {}
+    if config.m_estimate_shape:
+        params["to_shape"], state["to_shape"] = convert_mlp(sd, "to_shape", num_layers=2, use_batch_norm=False)
+    return params, state
+
+
+def convert_ief(sd: Arrays, config):
+    """IterativeErrorFeedback / LGD (reference models.py:369-457)."""
+    use_bn = not config.m_no_batch_norm
+    params, state = {}, {}
+    if config.m_rnn_init:
+        params["rnn"] = convert_rnn_layer(sd, "rnn", config.m_rnn_num_layers, config.m_rnn_bidirectional)
+        params["pose_net_init"] = convert_linear(sd, "pose_net_init")
+        params["shape_net_init"] = convert_linear(sd, "shape_net_init")
+    else:
+        params["pose_net_init"], state["pose_net_init"] = convert_mlp(
+            sd, "pose_net_init", config.m_num_layers, use_bn)
+        params["shape_net_init"], state["shape_net_init"] = convert_mlp(
+            sd, "shape_net_init", config.m_num_layers, use_bn)
+    params["pose_net_iter"], state["pose_net_iter"] = convert_mlp(
+        sd, "pose_net_iter", config.m_num_layers, use_bn)
+    params["shape_net_iter"], state["shape_net_iter"] = convert_mlp(
+        sd, "shape_net_iter", config.m_num_layers, use_bn)
+    return params, state
+
+
+def convert_model(sd: Arrays, config):
+    """Dispatch on config.m_type; returns (params, state) for the JAX zoo."""
+    if config.m_type == "resnet":
+        return convert_feed_forward_resnet(sd, config)
+    if config.m_type == "rnn":
+        return convert_simple_rnn(sd, config)
+    if config.m_type in ("ief", "lgd"):
+        return convert_ief(sd, config)
+    raise ValueError(f"Model type '{config.m_type}' unknown.")
