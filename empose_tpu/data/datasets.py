@@ -1,0 +1,147 @@
+"""Dataset readers + a minimal shuffling batch loader.
+
+Replaces the reference's LMDBDataset/RealDataset + torch DataLoader stack
+(reference: empose/data/datasets.py:19-85, train.py:54-69). Sequence corpora
+live in EMR record files (see emr.py); real recordings are the
+``*_clean.npz`` files. The loader is a plain Python iterator with optional
+background-thread prefetch — batch assembly is cheap (windowed zero-copy
+reads); all heavy computation (FK, sensor synthesis, noise) happens on-device
+inside the jitted train step, which is the TPU-native answer to the
+reference's multi-worker DataLoader.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from empose_tpu import constants as C
+from empose_tpu.data.batches import AMASSSample, RealSample, collate_amass, collate_real
+from empose_tpu.data.emr import EMRReader
+from empose_tpu.data.transforms import extract_window
+
+
+class EMRSequenceDataset:
+    """Windowed sequence dataset over an EMR corpus (AMASS / 3DPW).
+
+    Expected record fields: poses (F, 66), betas (10,), trans (F, 3),
+    joints (F, 66); meta: id, gender, n_frames.
+    """
+
+    def __init__(self, path: str, window_size: Optional[int] = None, window_mode: str = "random",
+                 rng: Optional[np.random.RandomState] = None):
+        if os.path.isdir(path):
+            path = os.path.join(path, "corpus.emr")
+        self.reader = EMRReader(path)
+        self.window_size = window_size
+        self.window_mode = window_mode
+        self.rng = rng
+
+    def __len__(self) -> int:
+        return len(self.reader)
+
+    def __getitem__(self, i: int) -> AMASSSample:
+        meta = self.reader.meta(i)
+        n_frames = meta["n_frames"]
+        if self.window_size is not None:
+            sf, ef = extract_window(n_frames, self.window_size, self.rng, self.window_mode)
+        else:
+            sf, ef = 0, n_frames
+        return AMASSSample(
+            meta["id"],
+            self.reader.read(i, "poses", sf, ef),
+            self.reader.read(i, "betas"),
+            self.reader.read(i, "trans", sf, ef),
+            fps=C.FPS,
+            joints=self.reader.read(i, "joints", sf, ef) if "joints" in self.reader.fields(i) else None,
+            gender=meta.get("gender", "unknown"),
+        )
+
+
+class RealDataset:
+    """All ``*_clean.npz`` recordings in a directory (reference datasets.py:65-84)."""
+
+    def __init__(self, data_dir: str, normalize: bool = True):
+        self.files = sorted(glob.glob(os.path.join(data_dir, "*_clean.npz")))
+        if not self.files:
+            raise FileNotFoundError(f"No *_clean.npz files found in {data_dir}")
+        self.normalize = normalize
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> RealSample:
+        s = RealSample.from_npz_clean(self.files[i])
+        if self.normalize:
+            s.normalize_markers()
+        return s
+
+
+def get_all_offset_files(data_dir: Optional[str] = None) -> Dict[str, str]:
+    """{subject_id -> offset npz path} (reference utils.py:149-153)."""
+    data_dir = data_dir or C.data_dir_real()
+    offset_files = sorted(glob.glob(os.path.join(data_dir, "*_offsets.npz")))
+    subject_ids = [os.path.split(o)[-1].split("_")[0] for o in offset_files]
+    return dict(zip(subject_ids, offset_files))
+
+
+class Loader:
+    """Shuffling batch iterator with optional background prefetch."""
+
+    def __init__(self, dataset, batch_size: int, collate_fn: Callable, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self.collate_fn([self.dataset[int(i)] for i in chunk])
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def make_real_loader(data_dir: Optional[str] = None, batch_size: int = 1) -> Loader:
+    ds = RealDataset(data_dir or C.data_dir_real())
+    return Loader(ds, batch_size, collate_real, shuffle=False)

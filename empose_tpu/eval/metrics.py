@@ -1,0 +1,242 @@
+"""Metrics engine: MPJPE / PA-MPJPE / MPJAE (reference: empose/eval/metrics.py).
+
+TPU-native redesign: the reference runs a per-sample numpy Procrustes loop on
+the host (metrics.py:110-138) and converts rotations through the quaternion
+package; here both the Procrustes alignment (vmapped SVD) and the angular
+error run on-device in one jitted call per batch, with only the per-frame
+error matrices accumulated on the host for aggregation.
+
+Aggregation semantics match the reference exactly (metrics.py:289-330):
+per-joint means over all frames, then mean over the evaluated joint subset;
+std over the raw per-frame-per-joint error matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from empose_tpu import constants as C
+from empose_tpu.ops.so3 import local_to_global
+from empose_tpu.ops.quaternions import rotation_intrinsic_distance_from_aa
+from empose_tpu.bodymodel.smplh import smplh_fk
+
+_HI = lax.Precision.HIGHEST
+
+EUCL_EVAL_JOINTS = (
+    "root", "l_hip", "r_hip", "spine1", "l_knee", "r_knee", "spine2", "l_ankle", "r_ankle",
+    "spine3", "neck", "l_collar", "r_collar", "head", "l_shoulder", "r_shoulder",
+    "l_elbow", "r_elbow", "l_wrist", "r_wrist",
+)
+ANGLE_EVAL_JOINTS = (
+    "l_hip", "r_hip", "spine1", "l_knee", "r_knee", "spine2", "spine3",
+    "neck", "l_collar", "r_collar", "head", "l_shoulder", "r_shoulder", "l_elbow", "r_elbow",
+)
+
+EUCL_IDXS = tuple(C.SMPL_JOINTS.index(j) for j in EUCL_EVAL_JOINTS)
+# Pose vector has no root -> shift by -1 (reference metrics.py:92).
+ANGLE_IDXS = tuple(C.SMPL_JOINTS.index(j) - 1 for j in ANGLE_EVAL_JOINTS)
+
+
+def procrustes_align(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+    """Align Y to X with optimal rotation+scale+translation (one sample).
+
+    Port of the classic MATLAB-procrustes math (reference metrics.py:19-66,
+    compute_optimal_scale=True): returns Z, the transformed Y.
+    :param X, Y: (J, 3).
+    """
+    muX = jnp.mean(X, axis=0)
+    muY = jnp.mean(Y, axis=0)
+    X0 = X - muX
+    Y0 = Y - muY
+    normX = jnp.sqrt(jnp.sum(X0 * X0))
+    normY = jnp.sqrt(jnp.sum(Y0 * Y0))
+    X0 = X0 / normX
+    Y0 = Y0 / normY
+    A = jnp.matmul(X0.T, Y0, precision=_HI)
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    V = Vt.T
+    detT = jnp.linalg.det(jnp.matmul(V, U.T, precision=_HI))
+    V = V.at[:, -1].multiply(jnp.sign(detT))
+    s = s.at[-1].multiply(jnp.sign(detT))
+    T = jnp.matmul(V, U.T, precision=_HI)
+    traceTA = jnp.sum(s)
+    return normX * traceTA * jnp.matmul(Y0, T, precision=_HI) + muX
+
+
+@jax.jit
+def _eucl_dists(kp_gt: jnp.ndarray, kp_hat: jnp.ndarray):
+    """(B, J, 3) -> per-joint Euclidean errors, raw and Procrustes-aligned."""
+    diff = kp_gt - kp_hat
+    eucl = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    kp_hat_pa = jax.vmap(procrustes_align)(kp_gt, kp_hat)
+    diff_pa = kp_gt - kp_hat_pa
+    eucl_pa = jnp.sqrt(jnp.sum(diff_pa * diff_pa, axis=-1))
+    return eucl, eucl_pa
+
+
+def _angle_dists(pose: jnp.ndarray, pose_hat: jnp.ndarray, parents) -> jnp.ndarray:
+    """Angular geodesic error on GLOBAL orientations (reference metrics.py:230-239).
+
+    :param pose: (B, J*3) body pose WITHOUT root (zero root is prepended).
+    :return: (B, J) degrees.
+    """
+    b = pose.shape[0]
+    dummy_root = jnp.zeros((b, 3), pose.dtype)
+    pw = jnp.concatenate([dummy_root, pose], axis=-1)
+    pw_hat = jnp.concatenate([dummy_root, pose_hat], axis=-1)
+    glob = local_to_global(pw, parents)  # aa, (B, (J+1)*3)
+    glob_hat = local_to_global(pw_hat, parents)
+    aa = glob.reshape(b, -1, 3)[:, 1:]
+    aa_hat = glob_hat.reshape(b, -1, 3)[:, 1:]
+    rad = rotation_intrinsic_distance_from_aa(aa, aa_hat)
+    return jnp.rad2deg(rad)
+
+
+class MetricsEngine:
+    """Accumulate per-frame errors across batches, aggregate at the end.
+
+    API shape follows the reference engine (metrics.py:69-346) but all
+    computation is batched/jitted.
+    """
+
+    def __init__(self, smpl_model):
+        """:param smpl_model: SMPLHModel pytree (full mesh or any subset —
+        only joints are used)."""
+        self.smpl = smpl_model
+        self.eucl_dists: List[np.ndarray] = []
+        self.eucl_dists_pa: List[np.ndarray] = []
+        self.angle_diffs: List[np.ndarray] = []
+        self._fk = jax.jit(partial(smplh_fk, want_vertices=False))
+        self._angles = jax.jit(partial(_angle_dists, parents=C.SMPL_PARENTS))
+
+    def reset(self):
+        self.eucl_dists = []
+        self.eucl_dists_pa = []
+        self.angle_diffs = []
+
+    @staticmethod
+    def _valid_mask(n, f, seq_lengths, frame_mask) -> np.ndarray:
+        mask = np.arange(f)[None, :] < np.asarray(
+            seq_lengths if seq_lengths is not None else np.full(n, f))[:, None]
+        if frame_mask is not None:
+            fm = np.asarray(frame_mask)
+            if fm.ndim == 3:
+                fm = ~np.any(fm == 0, axis=-1)
+            mask = mask & fm.astype(bool)
+        return mask
+
+    def compute(self, pose, shape, pose_hat, shape_hat=None, seq_lengths=None,
+                pose_root=None, pose_root_hat=None, frame_mask=None):
+        """Reference metrics.py:183-241. pose: (N, F, 63) body pose (no root)."""
+        pose = np.asarray(pose)
+        n, f = pose.shape[0], pose.shape[1]
+        if shape_hat is None:
+            shape_hat = shape
+        mask = self._valid_mask(n, f, seq_lengths, frame_mask)
+        if mask.sum() == 0:
+            return
+
+        def flat(x):
+            return np.asarray(x)[mask]
+
+        def pad_shape(s):
+            s = np.asarray(s)
+            if s.ndim == 3:
+                return s[mask]
+            return np.broadcast_to(s[:, None], (n, f, s.shape[-1]))[mask]
+
+        p = flat(pose)
+        p_hat = flat(np.asarray(pose_hat))
+        s = pad_shape(shape)
+        s_hat = pad_shape(shape_hat)
+        if pose_root is None:
+            r = np.zeros((p.shape[0], 3), p.dtype)
+            r_hat = r
+        else:
+            r = flat(np.asarray(pose_root))
+            r_hat = flat(np.asarray(pose_root_hat))
+
+        _, kp3d = self._fk(self.smpl, jnp.asarray(p), jnp.asarray(s), jnp.asarray(r))
+        _, kp3d_hat = self._fk(self.smpl, jnp.asarray(p_hat), jnp.asarray(s_hat), jnp.asarray(r_hat))
+        kp3d = kp3d[:, : C.N_JOINTS + 1]
+        kp3d_hat = kp3d_hat[:, : C.N_JOINTS + 1]
+
+        eucl, eucl_pa = _eucl_dists(kp3d, kp3d_hat)
+        self.eucl_dists.append(np.asarray(eucl))
+        self.eucl_dists_pa.append(np.asarray(eucl_pa))
+        self.angle_diffs.append(np.asarray(self._angles(jnp.asarray(p), jnp.asarray(p_hat))))
+
+    def compute_joint_dist(self, joints, joints_hat, seq_lengths=None, frame_mask=None):
+        """Positional metrics from precomputed joints (reference metrics.py:243-265)."""
+        joints = np.asarray(joints)
+        n, f = joints.shape[0], joints.shape[1]
+        mask = self._valid_mask(n, f, seq_lengths, frame_mask)
+        if mask.sum() == 0:
+            return
+        kp = joints[mask].reshape(-1, joints.shape[-1] // 3, 3)[:, : C.N_JOINTS + 1]
+        kp_hat = np.asarray(joints_hat)[mask].reshape(kp.shape[0], -1, 3)[:, : C.N_JOINTS + 1]
+        eucl, eucl_pa = _eucl_dists(jnp.asarray(kp), jnp.asarray(kp_hat))
+        self.eucl_dists.append(np.asarray(eucl))
+        self.eucl_dists_pa.append(np.asarray(eucl_pa))
+
+    def compute_angle_dist(self, pose, pose_hat, seq_lengths=None, frame_mask=None):
+        """Angular metric only (reference metrics.py:267-287)."""
+        pose = np.asarray(pose)
+        n, f = pose.shape[0], pose.shape[1]
+        mask = self._valid_mask(n, f, seq_lengths, frame_mask)
+        if mask.sum() == 0:
+            return
+        p = pose[mask]
+        p_hat = np.asarray(pose_hat)[mask]
+        self.angle_diffs.append(np.asarray(self._angles(jnp.asarray(p), jnp.asarray(p_hat))))
+
+    def get_metrics(self, eucl_idxs_select: bool = True, angle_idxs_select: bool = True) -> Dict[str, float]:
+        """Aggregate (reference metrics.py:289-330): means over joints-subset."""
+        if self.eucl_dists:
+            eucl = np.concatenate(self.eucl_dists, axis=0)
+            eucl_pa = np.concatenate(self.eucl_dists_pa, axis=0)
+            idxs = list(EUCL_IDXS) if eucl_idxs_select else list(range(eucl.shape[1]))
+            eucl_mean = float(np.mean(np.mean(eucl, axis=0)[idxs]))
+            eucl_std = float(np.std(eucl[:, idxs]))
+            eucl_pa_mean = float(np.mean(np.mean(eucl_pa, axis=0)[idxs]))
+            eucl_pa_std = float(np.std(eucl_pa[:, idxs]))
+        else:
+            eucl_mean = eucl_std = eucl_pa_mean = eucl_pa_std = 0.0
+
+        if self.angle_diffs:
+            ang = np.concatenate(self.angle_diffs, axis=0)
+            aidx = list(ANGLE_IDXS) if angle_idxs_select else list(range(ang.shape[1]))
+            ang_mean = float(np.mean(np.mean(ang, axis=0)[aidx]))
+            ang_std = float(np.std(ang[:, aidx]))
+        else:
+            ang_mean = ang_std = 0.0
+
+        return {
+            "MPJPE [mm]": eucl_mean * 1000.0,
+            "MPJPE STD": eucl_std * 1000.0,
+            "PA-MPJPE [mm]": eucl_pa_mean * 1000.0,
+            "PA-MPJPE STD": eucl_pa_std * 1000.0,
+            "MPJAE [deg]": ang_mean,
+            "MPJAE STD": ang_std,
+        }
+
+    @staticmethod
+    def to_pretty_string(metrics: Dict[str, float], model_name) -> str:
+        from tabulate import tabulate
+        headers = list(metrics.keys())
+        values = [metrics[k] for k in headers]
+        return tabulate([[model_name] + values], headers=["Model"] + headers)
+
+    @staticmethod
+    def to_log_dict(metrics: Dict[str, float], prefix: str = "") -> Dict[str, float]:
+        return {
+            f"metrics/{prefix}/mje mean": metrics["MPJPE [mm]"],
+            f"metrics/{prefix}/mje pa mean": metrics["PA-MPJPE [mm]"],
+            f"metrics/{prefix}/mae mean": metrics["MPJAE [deg]"],
+        }

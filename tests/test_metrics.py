@@ -1,0 +1,109 @@
+"""Metrics engine vs brute-force numpy oracles."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+import jax.numpy as jnp
+
+from empose_tpu import constants as C
+from empose_tpu.eval import metrics as ME
+
+
+def np_procrustes(X, Y):
+    """Independent numpy Procrustes with optimal scale (oracle)."""
+    muX, muY = X.mean(0), Y.mean(0)
+    X0, Y0 = X - muX, Y - muY
+    normX = np.sqrt((X0 ** 2).sum())
+    normY = np.sqrt((Y0 ** 2).sum())
+    X0, Y0 = X0 / normX, Y0 / normY
+    A = X0.T @ Y0
+    U, s, Vt = np.linalg.svd(A, full_matrices=False)
+    V = Vt.T
+    detT = np.linalg.det(V @ U.T)
+    V[:, -1] *= np.sign(detT)
+    s[-1] *= np.sign(detT)
+    T = V @ U.T
+    return normX * s.sum() * (Y0 @ T) + muX
+
+
+def test_procrustes_matches_oracle():
+    rng = np.random.RandomState(0)
+    X = rng.randn(20, 3).astype(np.float32)
+    Y = rng.randn(20, 3).astype(np.float32)
+    Z = np.asarray(ME.procrustes_align(jnp.asarray(X), jnp.asarray(Y)))
+    np.testing.assert_allclose(Z, np_procrustes(X.astype(np.float64), Y.astype(np.float64)), atol=1e-4)
+
+
+def test_procrustes_recovers_similarity_transform():
+    rng = np.random.RandomState(1)
+    X = rng.randn(15, 3).astype(np.float32)
+    R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix().astype(np.float32)
+    Y = 2.0 * X @ R.T + np.asarray([1.0, -2.0, 0.5], np.float32)
+    Z = np.asarray(ME.procrustes_align(jnp.asarray(X), jnp.asarray(Y)))
+    np.testing.assert_allclose(Z, X, atol=1e-4)
+
+
+def test_angle_dists_known_rotation():
+    rng = np.random.RandomState(2)
+    b, j = 4, C.N_JOINTS
+    pose = (rng.randn(b, j * 3) * 0.2).astype(np.float32)
+    # Perturb ONLY the first joint (l_hip, a root child): its global orientation
+    # moves by exactly delta, and every DESCENDANT inherits a changed global
+    # orientation too — but identical relative rotation, so the geodesic
+    # distance of the first joint is delta.
+    delta = 0.25
+    pose_hat = pose.copy()
+    r0 = Rotation.from_rotvec(pose[:, :3])
+    r0_new = r0 * Rotation.from_rotvec(np.asarray([[0, 0, delta]] * b))
+    pose_hat[:, :3] = r0_new.as_rotvec().astype(np.float32)
+    d = np.asarray(ME._angle_dists(jnp.asarray(pose), jnp.asarray(pose_hat), C.SMPL_PARENTS))
+    np.testing.assert_allclose(d[:, 0], np.rad2deg(delta), atol=1e-3)
+
+
+def test_engine_accumulate_and_aggregate(smplh_model):
+    engine = ME.MetricsEngine(smplh_model)
+    rng = np.random.RandomState(3)
+    n, f = 2, 4
+    pose = (rng.randn(n, f, 63) * 0.2).astype(np.float32)
+    shape = (rng.randn(n, 10) * 0.3).astype(np.float32)
+    pose_hat = pose + rng.randn(n, f, 63).astype(np.float32) * 0.01
+    root = (rng.randn(n, f, 3) * 0.2).astype(np.float32)
+
+    engine.compute(pose, shape, pose_hat, None, np.asarray([f, f - 1]), root, root)
+    m = engine.get_metrics()
+    assert m["MPJPE [mm]"] > 0 and m["MPJAE [deg]"] > 0
+    # Identical inputs -> exactly zero errors.
+    engine.reset()
+    engine.compute(pose, shape, pose, None, np.asarray([f, f]), root, root)
+    m = engine.get_metrics()
+    assert m["MPJPE [mm]"] < 1e-3
+    assert m["MPJAE [deg]"] < 0.2  # arccos near 1 is noisy in f32
+
+
+def test_engine_mask_excludes_frames(smplh_model):
+    engine = ME.MetricsEngine(smplh_model)
+    rng = np.random.RandomState(4)
+    n, f = 1, 4
+    pose = (rng.randn(n, f, 63) * 0.2).astype(np.float32)
+    shape = np.zeros((n, 10), np.float32)
+    pose_hat = pose.copy()
+    pose_hat[:, 2] += 10.0  # corrupt frame 2
+    marker_mask = np.ones((n, f, 12), np.float32)
+    marker_mask[:, 2, 3] = 0.0  # frame 2 has a missing marker -> excluded
+    engine.compute(pose, shape, pose_hat, None, np.asarray([f]), frame_mask=marker_mask)
+    m = engine.get_metrics()
+    assert m["MPJPE [mm]"] < 1e-3
+
+
+def test_compute_joint_dist(smplh_model):
+    engine = ME.MetricsEngine(smplh_model)
+    rng = np.random.RandomState(5)
+    joints = rng.randn(2, 3, 66).astype(np.float32)
+    offset = 0.01
+    joints_hat = joints + offset
+    engine.compute_joint_dist(joints, joints_hat, np.asarray([3, 3]))
+    m = engine.get_metrics()
+    # Constant offset: raw MPJPE = sqrt(3)*offset*1000 mm; PA removes it.
+    np.testing.assert_allclose(m["MPJPE [mm]"], np.sqrt(3) * offset * 1000, rtol=1e-3)
+    assert m["PA-MPJPE [mm]"] < m["MPJPE [mm]"]
