@@ -217,6 +217,7 @@ def smplh_fk(
     trans: Optional[jnp.ndarray] = None,
     poses_hands: Optional[jnp.ndarray] = None,
     want_vertices: bool = True,
+    lbs_fn=None,
 ):
     """Evaluate SMPL-H: (pose, shape) -> (vertices, joints).
 
@@ -273,9 +274,14 @@ def smplh_fk(
     v_posed = v_rest + pose_offsets
 
     # LBS: blend global transforms per vertex. W:(Vs, J); R_glob:(N, J, 3, 3).
-    Rw = jnp.einsum("vj,njab->nvab", model.weights, R_glob, precision=_HI)
-    tw = jnp.einsum("vj,nja->nva", model.weights, t_skin, precision=_HI)
-    verts = jnp.einsum("nvab,nvb->nva", Rw, v_posed, precision=_HI) + tw + trans[:, None]
+    if lbs_fn is not None:
+        # Fused Pallas kernel (ops/skinning.py): keeps the blended per-vertex
+        # transforms in VMEM instead of materializing them in HBM.
+        verts = lbs_fn(R_glob, t_skin, v_posed) + trans[:, None]
+    else:
+        Rw = jnp.einsum("vj,njab->nvab", model.weights, R_glob, precision=_HI)
+        tw = jnp.einsum("vj,nja->nva", model.weights, t_skin, precision=_HI)
+        verts = jnp.einsum("nvab,nvb->nva", Rw, v_posed, precision=_HI) + tw + trans[:, None]
     return verts, joints_out
 
 

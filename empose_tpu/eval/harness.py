@@ -1,0 +1,202 @@
+"""Evaluation harness: model loading, windowed streaming eval, metric loops.
+
+Reference: empose/eval/helpers.py:30-200 + scripts/evaluate_real.py:24-101.
+TPU-native specifics:
+  * chunks are padded to the window size so every chunk of a sequence reuses
+    ONE compiled program (the reference eats variable shapes; XLA cannot);
+  * LSTM streaming state is an explicit carry threaded between chunks;
+  * the per-chunk pipeline (FK for GT joints -> forward -> losses) is jitted
+    as a single program.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+from functools import partial
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from empose_tpu import constants as C
+from empose_tpu.config import Configuration
+from empose_tpu.bodymodel.smplh import load_smplh, smplh_fk
+from empose_tpu.checkpoint.mapping import convert_model
+from empose_tpu.checkpoint.torch_reader import load_state_dict
+from empose_tpu.data import batches as B
+from empose_tpu.data.datasets import EMRSequenceDataset, Loader, RealDataset
+from empose_tpu.eval.metrics import MetricsEngine
+from empose_tpu.nn.models import SensorSMPL, create_model, IterativeErrorFeedback
+from empose_tpu.utils import experiments as U
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def pad_time(batch: Dict, target_f: int) -> Dict:
+    """Right-pad all time-major arrays to target_f frames (host numpy)."""
+    time_keys = ("poses", "trans", "joints_gt", "marker_pos", "marker_ori", "marker_nor", "marker_masks")
+    out = {}
+    for k, v in batch.items():
+        if k in time_keys and v is not None and hasattr(v, "shape") and v.ndim >= 2:
+            v = np.asarray(v)
+            f = v.shape[1]
+            if f < target_f:
+                pad = [(0, 0)] * v.ndim
+                pad[1] = (0, target_f - f)
+                v = np.pad(v, pad)
+        out[k] = v
+    return out
+
+
+def window_generator(batch: Dict, window_size: Optional[int]) -> Iterator[Tuple[Dict, int]]:
+    """Slice a (host numpy) batch into fixed windows, padding the tail.
+
+    Reference eval/helpers.py:30-48. Yields (window, true_frames).
+    """
+    seq_len = batch["poses"].shape[1]
+    if window_size is None:
+        yield batch, seq_len
+        return
+    n_windows = seq_len // window_size + int(seq_len % window_size > 0)
+    for i in range(n_windows):
+        sf = i * window_size
+        ef = min((i + 1) * window_size, seq_len)
+        w = B.slice_window(batch, sf, ef)
+        w["seq_lengths"] = np.full_like(np.asarray(batch["seq_lengths"]), ef - sf)
+        yield pad_time(w, window_size), ef - sf
+
+
+def preprocess_real_chunk(sensor: SensorSMPL, chunk: Dict) -> Dict:
+    """Device preprocessing for a REAL chunk: FK for GT joints only.
+
+    The reference runs the full synth pipeline here and discards the synth
+    markers for real batches (transforms.py:44 + data.py:304-309); we skip
+    the dead work and only compute joints_gt.
+    """
+    poses = chunk["poses"]
+    n, f = poses.shape[0], poses.shape[1]
+    flat = poses.reshape(n * f, -1)
+    shapes = jnp.repeat(chunk["shapes"], f, axis=0)
+    _, joints = smplh_fk(sensor.full, flat[:, 3:], shapes, poses_root=flat[:, :3],
+                         trans=chunk["trans"].reshape(n * f, 3), want_vertices=False)
+    out = dict(chunk)
+    out["joints_gt"] = joints[:, : C.N_JOINTS + 1].reshape(n, f, -1)
+    return out
+
+
+class EvalSession:
+    """Jit-cached per-chunk eval pipeline for one model."""
+
+    def __init__(self, model, params, state, sensor: SensorSMPL):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.sensor = sensor
+
+        def run_chunk(params, state, chunk, carry):
+            chunk = preprocess_real_chunk(sensor, chunk)
+            out, _, new_carry = model.forward(params, state, chunk, carry, train=False)
+            _, loss_vals = model.compute_loss(chunk, out)
+            slim = {k: out[k] for k in ("pose_hat", "root_ori_hat", "shape_hat", "joints_hat")
+                    if out.get(k) is not None}
+            return slim, loss_vals, new_carry
+
+        self._run_chunk = jax.jit(run_chunk)
+
+    def forward_chunk(self, chunk: Dict, carry):
+        device_chunk = {k: jnp.asarray(v) for k, v in chunk.items() if k != "ids"}
+        return self._run_chunk(self.params, self.state, device_chunk, carry)
+
+
+def load_model(model_id, experiment_dir: Optional[str] = None):
+    """Reconstruct a model from its experiment dir (reference eval/helpers.py:148-164)."""
+    experiment_dir = experiment_dir or C.experiment_dir()
+    model_dir = U.get_model_dir(experiment_dir, model_id)
+    if model_dir is None:
+        raise FileNotFoundError(f"No experiment dir for model id {model_id} in {experiment_dir}")
+    config = Configuration.from_json(os.path.join(model_dir, "config.json"))
+
+    smplh = load_smplh()
+    sensor = SensorSMPL(smplh)
+    model = create_model(config, sensor)
+
+    ckpt_file = os.path.join(model_dir, "model.pth")
+    native_ckpt = os.path.join(model_dir, "checkpoint")
+    if os.path.exists(ckpt_file):
+        sd = load_state_dict(ckpt_file)
+        params, state = convert_model(sd, config)
+    elif os.path.isdir(native_ckpt):
+        from empose_tpu.checkpoint.native import restore_params_state
+        params, state = restore_params_state(native_ckpt, model)
+    else:
+        raise FileNotFoundError(f"No model.pth or native checkpoint in {model_dir}")
+
+    print(f"Model created with {U.count_parameters(params)} trainable parameters")
+    return model, params, state, config, model_dir, sensor
+
+
+def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[int],
+                            pad_multiple: int = 256):
+    """Per-sequence + overall metric rows (reference evaluate_real.py:41-101).
+
+    :return: (rows, overall_metrics, per_seq_metrics dicts)
+    """
+    me_all = MetricsEngine(session.sensor.full)
+    me_ind = MetricsEngine(session.sensor.full)
+    rows = []
+
+    from empose_tpu.data.transforms import normalize_root
+
+    for batch in loader:
+        seq_id = batch["ids"][0]
+        true_len = int(batch["seq_lengths"][0])
+        # Sequence-level root normalization before chunking (the chunk origin
+        # depends on the sequence start; reference evaluate_real.py:50).
+        device_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        normed = normalize_root(device_batch)
+        host_batch = {k: (np.asarray(v) if hasattr(v, "shape") else v) for k, v in normed.items()}
+        host_batch["ids"] = batch["ids"]
+        if window_size is None:
+            host_batch = pad_time(host_batch, _round_up(host_batch["poses"].shape[1], pad_multiple))
+
+        me_ind.reset()
+        carry = session.model.initial_carry()
+        first_shape = None
+        for c, (chunk, n_frames) in enumerate(window_generator(host_batch, window_size)):
+            out, loss_vals, carry = session.forward_chunk(chunk, carry)
+            shape_hat = out.get("shape_hat")
+            if c == 0:
+                first_shape = None if shape_hat is None else np.asarray(shape_hat)[:, 0]
+            shape_for_metrics = first_shape
+
+            seq_lengths = np.asarray(chunk["seq_lengths"])
+            me_args = dict(
+                pose=np.asarray(chunk["poses"])[:, :, 3:], shape=np.asarray(chunk["shapes"]),
+                pose_hat=np.asarray(out["pose_hat"]), shape_hat=shape_for_metrics,
+                seq_lengths=seq_lengths,
+                pose_root=np.asarray(chunk["poses"])[:, :, :3],
+                pose_root_hat=np.asarray(out["root_ori_hat"]),
+                frame_mask=np.asarray(chunk["marker_masks"]),
+            )
+            me_all.compute(**me_args)
+            me_ind.compute(**me_args)
+
+        metrics = me_ind.get_metrics()
+        rows.append([seq_id] + [metrics[k] for k in metrics])
+
+    overall = me_all.get_metrics()
+    rows.append(["Overall average"] + [overall[k] for k in overall])
+    return rows, overall
+
+
+def print_metric_table(rows, model_id) -> str:
+    from tabulate import tabulate
+    headers = ["MPJPE [mm]", "MPJPE STD", "PA-MPJPE [mm]", "PA-MPJPE STD", "MPJAE [deg]", "MPJAE STD"]
+    numbered = [[i] + r for i, r in enumerate(rows)]
+    s = tabulate(numbered, headers=["Nr", f"E2E {model_id}"] + headers)
+    print(s)
+    return s

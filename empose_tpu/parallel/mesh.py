@@ -1,0 +1,80 @@
+"""Device mesh + sharding helpers: batch-DP over ICI via jit sharding.
+
+The reference has no distributed execution at all (single torch device,
+reference configuration.py:23; verified in SURVEY.md §2.3). The workload is
+embarrassingly batch-parallel (5.7M params, large synthetic batches), so the
+TPU-native scaling strategy is pure data parallelism over a 1-D mesh:
+
+  * parameters / optimizer state / BN stats: replicated;
+  * batch tensors: sharded along the leading (batch) axis;
+  * gradient all-reduce: inserted automatically by XLA from the sharding
+    annotations (the loss means over the batch), riding ICI.
+
+No TP/PP is warranted at this model scale; the hooks below generalize to
+N-D meshes if a larger model family is ever added.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = np.asarray(jax.devices())
+    if n_devices is not None:
+        assert len(devices) >= n_devices, f"need {n_devices} devices, have {len(devices)}"
+        devices = devices[:n_devices]
+    return Mesh(devices, (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Leading-axis sharding for batch pytrees."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = "dp") -> Dict:
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis)
+
+    def put(x):
+        return jax.device_put(x, sh)
+
+    return {k: (put(v) if hasattr(v, "shape") and np.ndim(v) >= 1 else v)
+            for k, v in batch.items() if k != "ids"}
+
+
+def replicate(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
+    """Right-pad the batch axis to a multiple of the mesh size.
+
+    Padded entries get seq_length 0, so masked losses ignore them... except
+    the final mean-over-batch; callers that need exact parity should keep
+    batch sizes divisible by the mesh.
+    """
+    n = batch["poses"].shape[0]
+    target = ((n + n_devices - 1) // n_devices) * n_devices
+    if target == n:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        pad = [(0, target - n)] + [(0, 0)] * (v.ndim - 1)
+        out[k] = np.pad(v, pad)
+    out["seq_lengths"] = np.concatenate(
+        [np.asarray(batch["seq_lengths"]), np.ones(target - n, np.int32)])
+    return out

@@ -1,0 +1,269 @@
+"""Training driver: one fused XLA program per step (datagen + fwd + bwd + adam).
+
+Reference: scripts/train.py:37-246. The reference's hot loop does host->GPU
+copy, 4 sequential preprocess callables, forward, backward, optimizer step as
+separate kernel launches; here the ENTIRE step — root normalization, SMPL FK,
+virtual-sensor synthesis, offset/noise augmentation, model forward, losses,
+gradients, Adam update — compiles into one jitted program. Multi-chip scaling
+is batch-DP via sharding annotations (see empose_tpu/parallel/mesh.py): the
+batch is sharded over the mesh, parameters replicated, and XLA inserts the
+gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from empose_tpu import constants as C
+from empose_tpu.bodymodel.smplh import load_smplh
+from empose_tpu.checkpoint import native as ckpt
+from empose_tpu.data import transforms as T
+from empose_tpu.data.datasets import get_all_offset_files
+from empose_tpu.eval.harness import EvalSession, pad_time, window_generator, _round_up
+from empose_tpu.eval.metrics import MetricsEngine
+from empose_tpu.nn.models import IterativeErrorFeedback, SensorSMPL, create_model
+from empose_tpu.parallel import mesh as M
+from empose_tpu.utils import experiments as U
+from empose_tpu.utils.logging import ScalarWriter, StepTimer
+
+
+class Trainer:
+    def __init__(self, config, seed: Optional[int] = None, match_reference_grads: bool = True):
+        self.config = config
+        self.seed = int(seed if seed is not None else (config.seed or time.time()))
+        self.rng_key = jax.random.PRNGKey(self.seed)
+
+        self.smplh = load_smplh()
+        self.sensor = SensorSMPL(self.smplh)
+        offset_files = list(get_all_offset_files().values())
+        self.bank = T.OffsetBank.from_offset_files(offset_files)
+        self.model = create_model(config, self.sensor)
+        self.pre_train = T.make_preprocess_fn(self.sensor, self.bank, config, True)
+        self.pre_eval = T.make_preprocess_fn(self.sensor, self.bank, config, False)
+        self.match_reference_grads = match_reference_grads
+
+        k_init, self.rng_key = jax.random.split(self.rng_key)
+        self.params, self.state = self.model.init(k_init)
+        self.opt = optax.adam(config.lr)
+        self.opt_state = self.opt.init(self.params)
+        self.global_step = 0
+        self.epoch = 0
+        self.best_test_loss = float("inf")
+
+        # Mesh / sharding (1-device mesh == plain jit).
+        n_dp = max(1, int(getattr(config, "dp_devices", 1)))
+        self.mesh = M.make_mesh(n_dp) if n_dp > 1 else None
+        self._build_train_step()
+        self._eval_forward = None
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self):
+        model, pre, opt = self.model, self.pre_train, self.opt
+        is_ief = isinstance(model, IterativeErrorFeedback)
+        match_ref = self.match_reference_grads
+
+        def step(params, state, opt_state, batch, key):
+            k_pre, k_model = jax.random.split(key)
+            batch = pre(batch, k_pre, mode="all")
+
+            def loss_fn(p):
+                out, new_state, _ = model.forward(p, state, batch, train=True, key=k_model)
+                total, vals = model.compute_loss(batch, out)
+                loss_for_grad = total
+                if is_ief and match_ref:
+                    # Reproduce the reference's extra per-iteration recon-error
+                    # parameter gradients (see models.reference_grad_extra_loss).
+                    loss_for_grad = total + model.reference_grad_extra_loss(out)
+                return loss_for_grad, (vals, new_state)
+
+            grads, (vals, new_state) = jax.grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = opt.update(grads, opt_state)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_state, new_opt_state, vals
+
+        if self.mesh is not None:
+            rep = M.replicated(self.mesh)
+            bsh = M.batch_sharding(self.mesh)
+            self._train_step = jax.jit(
+                step,
+                in_shardings=(rep, rep, rep, bsh, rep),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=(0, 1, 2),
+            )
+            self.params = M.replicate(self.params, self.mesh)
+            self.state = M.replicate(self.state, self.mesh)
+            self.opt_state = M.replicate(self.opt_state, self.mesh)
+        else:
+            self._train_step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------
+    def train_step(self, host_batch: Dict) -> Dict[str, float]:
+        self.rng_key, k = jax.random.split(self.rng_key)
+        if self.mesh is not None:
+            host_batch = M.pad_batch_to_devices(host_batch, self.mesh.devices.size)
+            batch = M.shard_batch(host_batch, self.mesh)
+        else:
+            batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+        self.params, self.state, self.opt_state, vals = self._train_step(
+            self.params, self.state, self.opt_state, batch, k)
+        self.global_step += 1
+        return vals
+
+    # ------------------------------------------------------------------
+    def _build_eval_forward(self):
+        model, pre = self.model, self.pre_eval
+
+        def eval_fwd(params, state, batch, key):
+            batch = pre(batch, key, mode="all")
+            out, _, _ = model.forward(params, state, batch, train=False)
+            total, vals = model.compute_loss(batch, out)
+            slim = {k: out.get(k) for k in ("pose_hat", "root_ori_hat", "shape_hat")}
+            return slim, vals, batch["joints_gt"]
+
+        self._eval_forward = jax.jit(eval_fwd)
+
+    def evaluate_valid(self, loader, metrics_engine: Optional[MetricsEngine] = None) -> Dict[str, float]:
+        """Synthetic validation pass (reference eval/helpers.py:51-111)."""
+        if self._eval_forward is None:
+            self._build_eval_forward()
+        me = metrics_engine
+        if me is not None:
+            me.reset()
+        agg, n_samples = {}, 0
+        for host_batch in loader:
+            self.rng_key, k = jax.random.split(self.rng_key)
+            batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+            out, vals, _ = self._eval_forward(self.params, self.state, batch, k)
+            bs = host_batch["poses"].shape[0]
+            for name, v in vals.items():
+                agg[name] = agg.get(name, 0.0) + float(v) * bs
+            n_samples += bs
+            if me is not None:
+                normed = T.normalize_root(batch)
+                me.compute(np.asarray(normed["poses"])[:, :, 3:], host_batch["shapes"],
+                           np.asarray(out["pose_hat"]),
+                           None if out.get("shape_hat") is None else np.asarray(out["shape_hat"]),
+                           host_batch["seq_lengths"],
+                           np.asarray(normed["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]))
+        return {k2: v / max(n_samples, 1) for k2, v in agg.items()}
+
+    def evaluate_test(self, loader, metrics_engine: Optional[MetricsEngine] = None,
+                      window_size: Optional[int] = None) -> Dict[str, float]:
+        """Real-data test pass with streaming windows."""
+        from empose_tpu.data.transforms import normalize_root
+        session = EvalSession(self.model, self.params, self.state, self.sensor)
+        if metrics_engine is not None:
+            metrics_engine.reset()
+        agg, n_samples = {}, 0
+        for host_batch in loader:
+            device_batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+            normed = normalize_root(device_batch)
+            hb = {k2: np.asarray(v) for k2, v in normed.items()}
+            if window_size is None:
+                hb = pad_time(hb, _round_up(hb["poses"].shape[1], 256))
+            carry = self.model.initial_carry()
+            first_shape = None
+            seq_vals, n_chunks = {}, 0
+            for c, (chunk, _) in enumerate(window_generator(hb, window_size)):
+                out, vals, carry = session.forward_chunk(chunk, carry)
+                for name, v in vals.items():
+                    seq_vals[name] = seq_vals.get(name, 0.0) + float(v)
+                n_chunks += 1
+                shape_hat = out.get("shape_hat")
+                if c == 0:
+                    first_shape = None if shape_hat is None else np.asarray(shape_hat)[:, 0]
+                if metrics_engine is not None:
+                    metrics_engine.compute(
+                        np.asarray(chunk["poses"])[:, :, 3:], np.asarray(chunk["shapes"]),
+                        np.asarray(out["pose_hat"]), first_shape,
+                        np.asarray(chunk["seq_lengths"]),
+                        np.asarray(chunk["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]),
+                        frame_mask=np.asarray(chunk["marker_masks"]))
+            bs = host_batch["poses"].shape[0]
+            for name, v in seq_vals.items():
+                agg[name] = agg.get(name, 0.0) + v / max(n_chunks, 1) * bs
+            n_samples += bs
+        return {k2: v / max(n_samples, 1) for k2, v in agg.items()}
+
+    # ------------------------------------------------------------------
+    def train_state_dict(self) -> Dict:
+        return {
+            "params": self.params, "state": self.state, "opt_state": self.opt_state,
+            "global_step": self.global_step, "epoch": self.epoch,
+            "best_test_loss": self.best_test_loss, "rng_key": self.rng_key,
+        }
+
+    def save(self, path: str) -> None:
+        ckpt.save_train_state(path, self.train_state_dict())
+
+    def restore(self, path: str) -> None:
+        restored = ckpt.restore_train_state(path, self.train_state_dict())
+        self.params = restored["params"]
+        self.state = restored["state"]
+        self.opt_state = restored["opt_state"]
+        self.global_step = int(restored["global_step"])
+        self.epoch = int(restored["epoch"])
+        self.best_test_loss = float(restored["best_test_loss"])
+        self.rng_key = restored["rng_key"]
+
+
+def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: str,
+        writer: Optional[ScalarWriter] = None, max_steps: Optional[int] = None) -> Dict:
+    """Full training schedule (reference train.py:130-246)."""
+    config = trainer.config
+    me = MetricsEngine(trainer.smplh)
+    checkpoint_dir = os.path.join(model_dir, "checkpoint")
+    timer = StepTimer()
+    last_vals = {}
+
+    for epoch in range(trainer.epoch, config.n_epochs):
+        trainer.epoch = epoch
+        for i, batch in enumerate(train_loader):
+            timer.reset()
+            vals = trainer.train_step(batch)
+            last_vals = {k: float(v) for k, v in vals.items()}
+            elapsed = timer.elapsed()
+
+            if i % max(config.print_every - 1, 1) == 0:
+                loss_string = " ".join(f"{k}: {v:.6f}" for k, v in last_vals.items())
+                print(f"[TRAIN {i + 1:05d} | {epoch + 1:03d}] {loss_string} elapsed: {elapsed:.3f} secs")
+            if writer:
+                writer.add_scalars(last_vals, trainer.global_step, prefix="train/")
+                writer.add_scalar("lr", config.lr, trainer.global_step)
+
+            if trainer.global_step % max(config.eval_every - 1, 1) == 0:
+                valid_losses = trainer.evaluate_valid(valid_loader, me)
+                valid_metrics = me.get_metrics()
+                test_losses = trainer.evaluate_test(test_loader, me, config.eval_window_size)
+                test_metrics = me.get_metrics()
+                print(f"[VALID {i + 1:05d} | {epoch + 1:03d}] " +
+                      " ".join(f"{k}: {v:.6f}" for k, v in valid_losses.items()))
+                print(f"[TEST  {i + 1:05d} | {epoch + 1:03d}] " +
+                      " ".join(f"{k}: {v:.6f}" for k, v in test_losses.items()), end="")
+
+                current = test_losses.get("total_loss", float("inf"))
+                if current < trainer.best_test_loss:
+                    print(" ***")
+                    trainer.best_test_loss = current
+                    trainer.save(checkpoint_dir)
+                else:
+                    print()
+                print(MetricsEngine.to_pretty_string(valid_metrics, "VALID"))
+                print(MetricsEngine.to_pretty_string(test_metrics, "TEST"))
+                if writer:
+                    writer.add_scalars(valid_losses, trainer.global_step, prefix="valid/")
+                    writer.add_scalars(test_losses, trainer.global_step, prefix="test/")
+                    writer.add_scalars(MetricsEngine.to_log_dict(valid_metrics, "valid"), trainer.global_step)
+                    writer.add_scalars(MetricsEngine.to_log_dict(test_metrics, "test"), trainer.global_step)
+
+            if max_steps is not None and trainer.global_step >= max_steps:
+                return last_vals
+    return last_vals

@@ -1,0 +1,49 @@
+"""Evaluate a trained model on the real EM-POSE recordings.
+
+CLI mirror of the reference entry point (reference: scripts/evaluate_real.py:
+24-110): per-sequence metric rows plus the 'Overall average' row (the paper's
+Table-2 numbers), with --cross_subject evaluating the hold-out subject 0715.
+
+Usage: python scripts/evaluate_real.py --model_id <id> [--cross_subject]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(args):
+    from empose_tpu import constants as C
+    from empose_tpu.data.datasets import RealDataset, Loader
+    from empose_tpu.data.batches import collate_real
+    from empose_tpu.eval.harness import (EvalSession, evaluate_real_sequences, load_model,
+                                         print_metric_table)
+    from empose_tpu.nn.models import IterativeErrorFeedback
+
+    model, params, state, config, model_dir, sensor = load_model(args.model_id)
+
+    data_dir = C.data_dir_real()
+    if args.cross_subject:
+        data_dir = os.path.join(data_dir, "hold_out")
+    ds = RealDataset(data_dir)
+    loader = Loader(ds, batch_size=1, collate_fn=collate_real, shuffle=False)
+
+    is_lgd = isinstance(model, IterativeErrorFeedback)
+    window_size = args.window_size if args.window_size else (256 if is_lgd else None)
+
+    session = EvalSession(model, params, state, sensor)
+    rows, overall = evaluate_real_sequences(session, loader, window_size)
+    print_metric_table(rows, args.model_id)
+    return overall
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_id", required=True, help="Which end-to-end model to evaluate.")
+    p.add_argument("--cross_subject", action="store_true", help="Evaluate on hold-out subject 0715.")
+    p.add_argument("--window_size", type=int, default=None, help="Override the eval window size.")
+    main(p.parse_args())

@@ -3,15 +3,22 @@
 import os
 import sys
 
-# Must happen before `import jax` anywhere in the test process. The ambient
-# environment may pin JAX_PLATFORMS to the real TPU; tests always run on a
-# virtual 8-device CPU mesh (override with EMPOSE_TEST_PLATFORM).
-os.environ["JAX_PLATFORMS"] = os.environ.get("EMPOSE_TEST_PLATFORM", "cpu")
+# Tests run on a virtual 8-device CPU mesh (override with
+# EMPOSE_TEST_PLATFORM=axon to run against the real TPU). NOTE: the ambient
+# environment's sitecustomize registers the TPU PJRT plugin at interpreter
+# startup and jax caches JAX_PLATFORMS at import, so the env var alone is NOT
+# enough — jax.config.update below is what actually forces the platform.
+_platform = os.environ.get("EMPOSE_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

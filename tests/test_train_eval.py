@@ -1,0 +1,113 @@
+"""End-to-end: training loop, checkpoint resume, evaluate_real harness."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from empose_tpu import constants as C
+from empose_tpu.config import Configuration
+
+
+def tiny_train_config(**kw):
+    d = dict(m_type="resnet", m_estimate_shape=True, m_shape_hidden_size=8,
+             m_hidden_size=16, m_num_layers=1, use_marker_pos=True, use_marker_ori=True,
+             use_real_offsets=True, offset_noise_level=0, n_markers=12,
+             window_size=16, bs_train=2, bs_eval=2, n_epochs=1, lr=1e-3,
+             print_every=2, eval_every=10**9, seed=123, eval_window_size=None)
+    d.update(kw)
+    return Configuration.from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("exp"))
+
+
+def test_train_steps_and_checkpoint(assets_env, trained_dir, monkeypatch):
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from scripts.train import main as train_main
+    cfg = tiny_train_config(experiment_id="111000")
+    model_dir, trainer = train_main(cfg, max_steps=3)
+    assert trainer.global_step == 3
+    assert os.path.exists(os.path.join(model_dir, "config.json"))
+    assert os.path.exists(os.path.join(model_dir, "cmd.txt"))
+    # Force a checkpoint for the eval test.
+    trainer.save(os.path.join(model_dir, "checkpoint"))
+    assert os.path.isdir(os.path.join(model_dir, "checkpoint"))
+
+
+def test_resume_roundtrip(assets_env, trained_dir, monkeypatch):
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.train.loop import Trainer
+    from empose_tpu.utils.experiments import get_model_dir
+    model_dir = get_model_dir(trained_dir, "111000")
+    cfg = Configuration.from_json(os.path.join(model_dir, "config.json"))
+    t2 = Trainer(cfg)
+    assert t2.global_step == 0
+    t2.restore(os.path.join(model_dir, "checkpoint"))
+    assert t2.global_step == 3
+    # Params identical after restore.
+    from empose_tpu.train.loop import Trainer as _T
+    import jax
+    leaves = jax.tree_util.tree_leaves(t2.params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_evaluate_real_cli(assets_env, trained_dir, monkeypatch):
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import argparse
+    from scripts.evaluate_real import main as eval_main
+    args = argparse.Namespace(model_id="111000", cross_subject=False, window_size=None)
+    overall = eval_main(args)
+    assert overall["MPJPE [mm]"] > 0
+    assert np.isfinite(overall["MPJPE [mm]"])
+
+
+def test_evaluate_real_cross_subject(assets_env, trained_dir, monkeypatch):
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import argparse
+    from scripts.evaluate_real import main as eval_main
+    args = argparse.Namespace(model_id="111000", cross_subject=True, window_size=None)
+    overall = eval_main(args)
+    assert np.isfinite(overall["MPJPE [mm]"])
+
+
+def test_streaming_eval_windowed_vs_full(assets_env, trained_dir, monkeypatch):
+    """Windowed streaming eval == full-sequence eval for a stateless model."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences, load_model
+    from empose_tpu.data.datasets import RealDataset, Loader
+    from empose_tpu.data.batches import collate_real
+
+    model, params, state, cfg, model_dir, sensor = load_model("111000")
+    ds = RealDataset(C.data_dir_real())
+    loader = Loader(ds, 1, collate_real, shuffle=False)
+    session = EvalSession(model, params, state, sensor)
+    rows_full, overall_full = evaluate_real_sequences(session, loader, None, pad_multiple=32)
+    rows_win, overall_win = evaluate_real_sequences(session, loader, 32)
+    np.testing.assert_allclose(overall_win["MPJPE [mm]"], overall_full["MPJPE [mm]"], rtol=1e-3)
+
+
+def test_train_ief_with_gradient(assets_env, trained_dir, monkeypatch):
+    """The full LGD model trains (grad through FK + refinement loop)."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.train.loop import Trainer
+    from empose_tpu.data.datasets import EMRSequenceDataset, Loader
+    from empose_tpu.data.batches import collate_amass
+
+    cfg = tiny_train_config(m_type="lgd", m_num_iterations=1, m_use_gradient=True,
+                            m_rnn_init=True, m_rnn_hidden_size=8, m_rnn_num_layers=1,
+                            m_average_shape=True, m_hidden_size=16, m_num_layers=1,
+                            window_size=8, bs_train=2)
+    trainer = Trainer(cfg)
+    ds = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "amass_emr"), window_size=8,
+                            window_mode="beginning")
+    loader = Loader(ds, 2, collate_amass, shuffle=False)
+    batch = next(iter(loader))
+    v1 = trainer.train_step(batch)
+    v2 = trainer.train_step(batch)
+    assert np.isfinite(float(v1["total_loss"]))
+    assert np.isfinite(float(v2["total_loss"]))
