@@ -1,0 +1,164 @@
+"""Benchmark: LGD-RNN-6 full-pipeline inference throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "lgd_rnn6_inference_frames_per_sec", "value": N,
+   "unit": "frames/s", "vs_baseline": N / <torch-CPU reference fps>}
+
+The measured workload is the flagship model's complete streaming inference
+step (the hot path of reference scripts/evaluate_real.py with window 256):
+(bi)LSTM init + N=4 LGD refinement iterations, each running SMPL FK + virtual
+sensor synthesis + reconstruction-error gradients. Model dimensions match the
+released LGD-RNN-6 architecture (~5.7M params, reference README.md:228).
+
+Baseline: the same model implemented in torch (float64 full-mesh SMPL, as the
+reference's BodyModel runs, smpl.py:42) measured on this host's CPU via
+``python bench.py --measure-baseline`` and cached in bench_baseline.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+BATCH = 8
+WINDOW = 256
+N_MARKERS = 6
+
+
+def bench_config():
+    from empose_tpu.config import Configuration
+    return Configuration.from_dict(dict(
+        m_type="lgd", m_rnn_init=True, m_use_gradient=True, m_average_shape=True,
+        m_estimate_shape=False, m_num_iterations=4, m_hidden_size=1024, m_num_layers=2,
+        m_rnn_hidden_size=512, m_rnn_num_layers=2, m_rnn_bidirectional=False,
+        m_step_size=0.1, m_reprojection_loss_weight=0.01, m_fk_loss=0.0,
+        use_marker_pos=True, use_marker_ori=True, use_real_offsets=True,
+        offset_noise_level=0, n_markers=N_MARKERS, window_size=WINDOW, lr=1e-3))
+
+
+def make_window(rng, n, f):
+    return {
+        "marker_pos": np.asarray(rng.randn(n, f, 36), np.float32),
+        "marker_ori": np.asarray(rng.randn(n, f, 108), np.float32),
+        "seq_lengths": np.full(n, f, np.int32),
+        "offset_t": np.asarray(rng.randn(n, 12, 3) * 0.02, np.float32),
+        "offset_r": np.broadcast_to(np.eye(3, dtype=np.float32), (n, 12, 3, 3)).copy(),
+    }
+
+
+def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2):
+    import jax
+    import __graft_entry__ as GE
+
+    config = bench_config()
+    model, _ = GE._build_model(config)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    def forward(params, state, w, carry):
+        out, _, new_carry = model.forward(params, state, w, carry, train=False)
+        return out["pose_hat"], out["root_ori_hat"], out["shape_hat"], new_carry
+
+    fwd = jax.jit(forward)
+    rng = np.random.RandomState(0)
+    w = {k: jax.numpy.asarray(v) for k, v in make_window(rng, batch, window).items()}
+
+    carry = None
+    outs = fwd(params, state, w, carry)
+    carry = outs[-1]
+    jax.block_until_ready(outs[0])
+    for _ in range(warmup):
+        outs = fwd(params, state, w, outs[-1])
+    jax.block_until_ready(outs[0])
+
+    start = time.perf_counter()
+    for _ in range(iters):
+        outs = fwd(params, state, w, outs[-1])
+    jax.block_until_ready(outs[0])
+    elapsed = time.perf_counter() - start
+    frames = batch * window * iters
+    return frames / elapsed
+
+
+def run_torch_cpu(batch=1, window=16, iters=2):
+    """Reference-architecture torch model on CPU (float64 full-mesh SMPL)."""
+    import torch
+    torch.set_num_threads(os.cpu_count() or 1)
+    from empose_tpu import constants as C
+    from empose_tpu.bodymodel.synthetic import make_synthetic_smplh
+    from empose_tpu.data.virtual_sensors import subset_tables
+    from tests.torch_ref.models import TorchIEF
+    from tests.torch_ref.smpl import TorchSMPLH
+
+    config = bench_config()
+    npz = make_synthetic_smplh(seed=0)
+    smpl = TorchSMPLH(npz, num_betas=10)
+    # The reference skins the FULL mesh inside the loop; emulate by using the
+    # full vertex set (identity subset) with the sensor tables.
+    faces = np.asarray(npz["f"], np.int64)
+    _, tables_full = subset_tables(faces, C.VERTEX_IDS)
+    req, _ = subset_tables(faces, C.VERTEX_IDS)
+    # Use original-row tables so the oracle reads the full-mesh vertices.
+    from empose_tpu.data.virtual_sensors import VirtualSensorTables
+    tables = VirtualSensorTables.build(faces, C.VERTEX_IDS)
+    model = TorchIEF(config, smpl, tables).eval()
+    model.set_subset_rows(np.arange(npz["v_template"].shape[0]))
+
+    rng = np.random.RandomState(0)
+    w = make_window(rng, batch, window)
+    args = (torch.tensor(w["marker_pos"]), torch.tensor(w["marker_ori"]),
+            torch.tensor(w["seq_lengths"].astype(np.int64)),
+            torch.tensor(w["offset_r"]), torch.tensor(w["offset_t"]))
+
+    model(*args)  # warmup
+    start = time.perf_counter()
+    for _ in range(iters):
+        model(*args)
+    elapsed = time.perf_counter() - start
+    frames = batch * window * iters
+    return frames / elapsed
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--measure-baseline", action="store_true",
+                   help="Measure the torch-CPU reference fps and cache it.")
+    p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--window", type=int, default=WINDOW)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    if args.measure_baseline:
+        fps = run_torch_cpu()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"torch_cpu_fps": fps, "n_threads": os.cpu_count(),
+                       "note": "reference-architecture LGD-RNN-6 (float64 full-mesh SMPL, "
+                               "N=4 grad iterations) on host CPU"}, f, indent=2)
+        print(json.dumps({"torch_cpu_fps": fps}))
+        return
+
+    baseline_fps = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline_fps = json.load(f)["torch_cpu_fps"]
+
+    fps = run_tpu(args.batch, args.window, args.iters)
+    result = {
+        "metric": "lgd_rnn6_inference_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
