@@ -63,6 +63,39 @@ def rodrigues(rot_vecs: jnp.ndarray) -> jnp.ndarray:
     return ident + sin * K + (1.0 - cos) * jnp.matmul(K, K, precision=_HI)
 
 
+class _StaticArray:
+    """Hashable numpy-array wrapper for pytree aux data (jit cache keys
+    compare aux metadata by equality/hash; raw numpy arrays are neither)."""
+
+    __slots__ = ("arr", "_hash")
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = np.ascontiguousarray(arr)
+        self.arr.setflags(write=False)
+        self._hash = hash((self.arr.shape, self.arr.dtype.str, self.arr.tobytes()))
+
+    def __hash__(self):
+        return self._hash
+
+    def __eq__(self, other):
+        if not isinstance(other, _StaticArray):
+            return NotImplemented
+        return self._hash == other._hash and np.array_equal(self.arr, other.arr)
+
+    def __array__(self, dtype=None):
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
+    def max(self, *a, **k):
+        return self.arr.max(*a, **k)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class SMPLHModel:
@@ -88,6 +121,11 @@ class SMPLHModel:
     parents: Tuple[int, ...] = field(default=())
     faces: Optional[np.ndarray] = field(default=None, repr=False)
     vertex_ids: Optional[Tuple[int, ...]] = field(default=None, repr=False)
+
+    def __post_init__(self):
+        # Aux data must be hashable for jit cache keys.
+        if isinstance(self.faces, np.ndarray):
+            object.__setattr__(self, "faces", _StaticArray(self.faces))
 
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
@@ -339,6 +377,21 @@ class SMPLLayer:
         if output_vertex_ids is not None:
             normals = normals[:, jnp.asarray(output_vertex_ids)]
         return normals
+
+    # -- VPoser hooks (reference smpl.py:44-47, 149-159) ---------------------
+    # The reference wires optional VPoser latent encode/decode but every
+    # shipped factory passes vposer_path=None (smpl.py:24-26), so the hooks
+    # are inert in the released pipeline. They are kept as an extension
+    # point: assign a (encode, decode) pair to ``vposer`` to enable them.
+    vposer = None
+
+    def vposer_decode(self, poZ_body):
+        assert self.vposer is not None, "No VPoser model attached."
+        return self.vposer[1](poZ_body)
+
+    def vposer_encode(self, pose_body):
+        assert self.vposer is not None, "No VPoser model attached."
+        return self.vposer[0](pose_body)
 
     def __call__(self, *args, **kwargs):
         return self.fk(*args, **kwargs)

@@ -32,7 +32,10 @@ def _get(sd: Arrays, key: str) -> jnp.ndarray:
     key = key.lstrip(".")  # tolerate empty prefixes
     if key not in sd:
         raise KeyError(f"Checkpoint key missing: {key}")
-    return jnp.asarray(np.asarray(sd[key]), dtype=jnp.float32)
+    # Explicit copy: on CPU jnp.asarray may alias the source buffer, and a
+    # torch module that produced `sd` can mutate it in place (e.g. BatchNorm
+    # running stats) — the converted pytree must be independent.
+    return jnp.asarray(np.array(sd[key], dtype=np.float32, copy=True))
 
 
 def convert_linear(sd: Arrays, prefix: str) -> Dict:

@@ -39,7 +39,11 @@ def save_params_state(path: str, params, state) -> None:
 
 
 def restore_params_state(path: str, model) -> Tuple[Any, Any]:
-    """Restore (params, state) using a freshly-initialized model as template."""
+    """Restore (params, state) from a model-only checkpoint (see
+    save_params_state). Inference-side loading doesn't know the
+    optimizer-state structure, so trainers write this slim checkpoint next to
+    the full train state."""
     template_params, template_state = model.init(jax.random.PRNGKey(0))
-    restored = restore_train_state(path, {"params": template_params, "state": template_state})
+    template = {"params": template_params, "state": template_state}
+    restored = restore_train_state(path, template)
     return restored["params"], restored["state"]

@@ -145,3 +145,65 @@ class Loader:
 def make_real_loader(data_dir: Optional[str] = None, batch_size: int = 1) -> Loader:
     ds = RealDataset(data_dir or C.data_dir_real())
     return Loader(ds, batch_size, collate_real, shuffle=False)
+
+
+class EMRBatchLoader:
+    """Batched training loader on the native gather path (no per-sample objects).
+
+    Produces collated AMASS batch dicts directly from the mmap'd corpus via
+    the C++ window gather (empose_tpu/data/emr.py NativeEMRBatcher) — the
+    framework's answer to the reference's multi-worker torch DataLoader.
+    """
+
+    def __init__(self, path: str, batch_size: int, window_size: int, shuffle: bool = True,
+                 seed: int = 0, window_mode: str = "random", pad_multiple: int = 32,
+                 drop_last: bool = False):
+        from empose_tpu.data.emr import EMRReader, NativeEMRBatcher
+        if os.path.isdir(path):
+            path = os.path.join(path, "corpus.emr")
+        self.reader = EMRReader(path)
+        self.batcher = NativeEMRBatcher(self.reader)
+        self.batch_size = batch_size
+        self.window_size = window_size
+        self.window_mode = window_mode
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+        self.pad_multiple = pad_multiple
+        self.n_frames = np.asarray([self.reader.meta(i)["n_frames"] for i in range(len(self.reader))])
+
+    def __len__(self) -> int:
+        n = len(self.reader)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def _make_batch(self, indices: np.ndarray) -> Dict:
+        nf = self.n_frames[indices]
+        lengths = np.minimum(nf, self.window_size).astype(np.int32)
+        if self.window_mode == "random":
+            span = np.maximum(nf - self.window_size, 0)
+            starts = (self.rng.rand(len(indices)) * (span + 1)).astype(np.int64)
+        elif self.window_mode == "middle":
+            starts = np.maximum(nf // 2 - self.window_size // 2, 0).astype(np.int64)
+        else:
+            starts = np.zeros(len(indices), np.int64)
+        pad_f = ((int(lengths.max()) + self.pad_multiple - 1) // self.pad_multiple) * self.pad_multiple
+
+        batch = {
+            "ids": [self.reader.meta(int(i))["id"] for i in indices],
+            "poses": self.batcher.gather_windows("poses", indices, starts, lengths, pad_f),
+            "trans": self.batcher.gather_windows("trans", indices, starts, lengths, pad_f),
+            "joints_gt": self.batcher.gather_windows("joints", indices, starts, lengths, pad_f),
+            "shapes": self.batcher.gather_fixed("betas", indices),
+            "seq_lengths": lengths,
+        }
+        return batch
+
+    def __iter__(self):
+        idx = np.arange(len(self.reader))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield self._make_batch(chunk)

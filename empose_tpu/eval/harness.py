@@ -125,7 +125,7 @@ def load_model(model_id, experiment_dir: Optional[str] = None):
     model = create_model(config, sensor)
 
     ckpt_file = os.path.join(model_dir, "model.pth")
-    native_ckpt = os.path.join(model_dir, "checkpoint")
+    native_ckpt = os.path.join(model_dir, "checkpoint_model")
     if os.path.exists(ckpt_file):
         sd = load_state_dict(ckpt_file)
         params, state = convert_model(sd, config)
@@ -133,7 +133,7 @@ def load_model(model_id, experiment_dir: Optional[str] = None):
         from empose_tpu.checkpoint.native import restore_params_state
         params, state = restore_params_state(native_ckpt, model)
     else:
-        raise FileNotFoundError(f"No model.pth or native checkpoint in {model_dir}")
+        raise FileNotFoundError(f"No model.pth or native checkpoint_model in {model_dir}")
 
     print(f"Model created with {U.count_parameters(params)} trainable parameters")
     return model, params, state, config, model_dir, sensor

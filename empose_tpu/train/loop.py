@@ -202,7 +202,10 @@ class Trainer:
         }
 
     def save(self, path: str) -> None:
+        """Write the full train state to ``path`` and a slim params/BN-state
+        checkpoint to ``path + '_model'`` for inference-side loading."""
         ckpt.save_train_state(path, self.train_state_dict())
+        ckpt.save_params_state(path + "_model", self.params, self.state)
 
     def restore(self, path: str) -> None:
         restored = ckpt.restore_train_state(path, self.train_state_dict())

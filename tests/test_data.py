@@ -190,3 +190,36 @@ def test_slice_window(assets_env):
     assert w["poses"].shape[1] == 8
     assert w["seq_lengths"][0] == 8
     assert w["offset_t"].shape == batch["offset_t"].shape
+
+
+def test_native_emr_batcher_matches_python(assets_env):
+    import os as _os
+    from empose_tpu.data.emr import EMRReader, NativeEMRBatcher
+    path = _os.path.join(C.data_dir_synth(), "amass_emr", "corpus.emr")
+    reader = EMRReader(path)
+    batcher = NativeEMRBatcher(reader)
+    indices = [0, 1, 0]
+    starts = [0, 3, 5]
+    frames = [8, 8, 4]
+    got = batcher.gather_windows("poses", indices, starts, frames, 8)
+    assert got.shape == (3, 8, 66)
+    for k, (i, s, f) in enumerate(zip(indices, starts, frames)):
+        expect = reader.read(i, "poses", s, s + f)
+        np.testing.assert_array_equal(got[k, :f], expect)
+    assert np.all(got[2, 4:] == 0.0)
+    betas = batcher.gather_fixed("betas", indices)
+    np.testing.assert_array_equal(betas[0], reader.read(0, "betas"))
+    batcher.close()
+
+
+def test_emr_batch_loader(assets_env):
+    import os as _os
+    from empose_tpu.data.datasets import EMRBatchLoader
+    loader = EMRBatchLoader(_os.path.join(C.data_dir_synth(), "amass_emr"),
+                            batch_size=2, window_size=16, shuffle=True, seed=0)
+    batch = next(iter(loader))
+    assert batch["poses"].shape[0] == 2
+    assert batch["poses"].shape[1] % 32 == 0
+    assert batch["shapes"].shape == (2, 10)
+    assert batch["joints_gt"].shape[-1] == 66
+    assert (batch["seq_lengths"] <= 16).all()

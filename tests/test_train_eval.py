@@ -15,7 +15,7 @@ def tiny_train_config(**kw):
     d = dict(m_type="resnet", m_estimate_shape=True, m_shape_hidden_size=8,
              m_hidden_size=16, m_num_layers=1, use_marker_pos=True, use_marker_ori=True,
              use_real_offsets=True, offset_noise_level=0, n_markers=12,
-             window_size=16, bs_train=2, bs_eval=2, n_epochs=1, lr=1e-3,
+             window_size=16, bs_train=2, bs_eval=2, n_epochs=3, lr=1e-3,
              print_every=2, eval_every=10**9, seed=123, eval_window_size=None)
     d.update(kw)
     return Configuration.from_dict(d)
