@@ -1,0 +1,48 @@
+"""Golden-output regression: fixed model + fixed synthetic assets -> fixed metrics.
+
+The reference's de-facto acceptance test is the README-embedded expected
+stdout of evaluate_real.py (reference README.md:103-185); this is the same
+idea with deterministic synthetic fixtures: a seed-0-initialized BiRNN
+evaluated on the seed-11 synthetic real recordings must reproduce the
+recorded metric numbers. Catches any silent numerical drift across the whole
+stack (loader -> normalization -> forward -> metrics).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from empose_tpu import constants as C
+from empose_tpu.config import Configuration
+from empose_tpu.data.batches import collate_real
+from empose_tpu.data.datasets import Loader, RealDataset
+from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences
+from empose_tpu.nn.models import SensorSMPL, create_model
+
+# Recorded from the initial implementation (CPU f32). Loose enough to admit
+# platform reassociation, tight enough to catch semantic changes.
+GOLDEN = {
+    "MPJPE [mm]": 175.9676,
+    "PA-MPJPE [mm]": 75.41331,
+    "MPJAE [deg]": 46.56161,
+}
+
+
+def test_golden_eval_numbers(assets_env, smplh_model):
+    cfg = Configuration.from_dict(dict(
+        m_type="rnn", m_bidirectional=True, m_hidden_size=32, m_num_layers=1,
+        m_estimate_shape=True, m_shape_hidden_size=16, m_average_shape=True,
+        use_marker_pos=True, use_marker_ori=True, n_markers=12,
+        window_size=16, lr=1e-3, m_fk_loss=0.0))
+    sensor = SensorSMPL(smplh_model)
+    model = create_model(cfg, sensor)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    ds = RealDataset(C.data_dir_real())
+    loader = Loader(ds, 1, collate_real, shuffle=False)
+    session = EvalSession(model, params, state, sensor)
+    rows, overall = evaluate_real_sequences(session, loader, None, pad_multiple=32)
+
+    for key, want in GOLDEN.items():
+        np.testing.assert_allclose(overall[key], want, rtol=1e-3, err_msg=key)
