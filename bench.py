@@ -57,6 +57,8 @@ def make_window(rng, n, f):
 
 def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2):
     import jax
+    from empose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import __graft_entry__ as GE
 
     config = bench_config()

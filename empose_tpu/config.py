@@ -28,7 +28,9 @@ _FLAG_SPECS = [
     # Model configurations.
     ("m_type", "rnn", dict(choices=["rnn", "resnet", "ief", "lgd"], help="The type of model.")),
     ("m_estimate_shape", False, dict(action="store_true", help="The model estimates the body shape.")),
-    ("m_shape_hidden_size", 256, dict(help="Size of the network estimating the shape.")),
+    # NOTE: the reference omits type=int here (configuration.py:162), so the
+    # flag silently arrives as a string from its CLI; fixed here.
+    ("m_shape_hidden_size", 256, dict(type=int, help="Size of the network estimating the shape.")),
     ("m_fk_loss", 0.0, dict(type=float, help="Add an FK loss, requires shape estimate.")),
     ("m_dropout", 0.0, dict(type=float, help="Dropout applied on inputs.")),
     ("m_hidden_size", 1024, dict(type=int, help="Number of hidden units.")),

@@ -200,3 +200,31 @@ def print_metric_table(rows, model_id) -> str:
     s = tabulate(numbered, headers=["Nr", f"E2E {model_id}"] + headers)
     print(s)
     return s
+
+
+def load_model_and_eval_data(model_id, partition: str = "test_real",
+                             batch_size: Optional[int] = None,
+                             experiment_dir: Optional[str] = None):
+    """Model + matching eval loader for a partition (reference eval/helpers.py:167-200).
+
+    :param partition: 'valid' (3DPW corpus, middle windows), 'test_real'
+      (EM-POSE real), or 'test_real_0715' (hold-out subject).
+    :return: (EvalSession, loader, config)
+    """
+    assert partition in ("valid", "test_real", "test_real_0715")
+    model, params, state, config, model_dir, sensor = load_model(model_id, experiment_dir)
+    session = EvalSession(model, params, state, sensor)
+
+    if partition == "valid":
+        from empose_tpu.data.batches import collate_amass
+        ds = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "3dpw_emr"),
+                                window_size=config.window_size, window_mode="middle")
+        loader = Loader(ds, batch_size or 6, collate_amass, shuffle=False)
+    else:
+        from empose_tpu.data.batches import collate_real
+        data_dir = C.data_dir_real()
+        if partition == "test_real_0715":
+            data_dir = os.path.join(data_dir, "hold_out")
+        ds = RealDataset(data_dir)
+        loader = Loader(ds, batch_size or 1, collate_real, shuffle=False)
+    return session, loader, config

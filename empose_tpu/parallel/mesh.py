@@ -78,3 +78,19 @@ def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
     out["seq_lengths"] = np.concatenate(
         [np.asarray(batch["seq_lengths"]), np.ones(target - n, np.int32)])
     return out
+
+
+def init_distributed(coordinator_address: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) initialization hook.
+
+    Single-host multi-chip needs nothing (jax.devices() already sees the whole
+    slice over ICI). For multi-host slices call this once per process before
+    any jax op; the DP mesh helpers above then span all hosts' devices.
+    """
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

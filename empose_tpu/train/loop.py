@@ -268,5 +268,12 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
                     writer.add_scalars(MetricsEngine.to_log_dict(test_metrics, "test"), trainer.global_step)
 
             if max_steps is not None and trainer.global_step >= max_steps:
+                if not os.path.isdir(checkpoint_dir):
+                    trainer.save(checkpoint_dir)
                 return last_vals
+    # Always leave a usable checkpoint, even if eval never fired (the
+    # reference saves only on eval improvements, train.py:190-205, which can
+    # end a run with no checkpoint at all).
+    if not os.path.isdir(checkpoint_dir):
+        trainer.save(checkpoint_dir)
     return last_vals

@@ -17,6 +17,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(args):
+    from empose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from empose_tpu import constants as C
     from empose_tpu.data.datasets import RealDataset, Loader
     from empose_tpu.data.batches import collate_real

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(config, max_steps=None):
+    from empose_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     from empose_tpu import constants as C
     from empose_tpu.data.batches import collate_amass, collate_real

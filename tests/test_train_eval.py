@@ -111,3 +111,46 @@ def test_train_ief_with_gradient(assets_env, trained_dir, monkeypatch):
     v2 = trainer.train_step(batch)
     assert np.isfinite(float(v1["total_loss"]))
     assert np.isfinite(float(v2["total_loss"]))
+
+
+def test_convert_checkpoint_tool(assets_env, trained_dir, monkeypatch, tmp_path):
+    """torch model.pth in an experiment dir -> native checkpoint_model."""
+    import torch
+    import json
+    from empose_tpu.config import Configuration
+    from tests.torch_ref.models import TorchFeedForwardResNet
+
+    monkeypatch.setenv("EM_EXPERIMENTS", str(tmp_path))
+    cfg = tiny_train_config()
+    exp_dir = tmp_path / "222000-ResNet-test"
+    exp_dir.mkdir()
+    Configuration.from_dict(vars(cfg) if not isinstance(cfg, Configuration) else cfg.__dict__)\
+        .to_json(str(exp_dir / "config.json"))
+    torch.manual_seed(0)
+    t_model = TorchFeedForwardResNet(cfg)
+    torch.save({"model_state_dict": t_model.state_dict()}, str(exp_dir / "model.pth"))
+
+    from tools.convert_checkpoint import main as convert_main
+    out = convert_main("222000")
+    assert os.path.isdir(out)
+
+    # Native checkpoint now loads through the standard eval path; outputs
+    # match the torch-format path.
+    from empose_tpu.eval.harness import load_model
+    _, p1, s1, _, _, _ = load_model("222000")
+    os.rename(str(exp_dir / "model.pth"), str(exp_dir / "model.pth.bak"))
+    _, p2, s2, _, _, _ = load_model("222000")
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_model_and_eval_data_partitions(assets_env, trained_dir, monkeypatch):
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.eval.harness import load_model_and_eval_data
+    session, loader, config = load_model_and_eval_data("111000", partition="test_real")
+    batch = next(iter(loader))
+    assert "marker_pos" in batch
+    session, loader, config = load_model_and_eval_data("111000", partition="valid")
+    batch = next(iter(loader))
+    assert "joints_gt" in batch
