@@ -6,9 +6,11 @@ Prints ONE JSON line:
 
 The measured workload is the flagship model's complete streaming inference
 step (the hot path of reference scripts/evaluate_real.py with window 256):
-(bi)LSTM init + N=4 LGD refinement iterations, each running SMPL FK + virtual
-sensor synthesis + reconstruction-error gradients. Model dimensions match the
-released LGD-RNN-6 architecture (~5.7M params, reference README.md:228).
+LSTM init + N=2 LGD refinement iterations, each running SMPL FK + virtual
+sensor synthesis + reconstruction-error gradients.
+
+The architecture is the RELEASED LGD-RNN-6 retrain configuration
+(reference README.md:210-228, 5.72M params, N=2 iterations, hidden 512x2).
 
 Baseline: the same model implemented in torch (float64 full-mesh SMPL, as the
 reference's BodyModel runs, smpl.py:42) measured on this host's CPU via
@@ -35,14 +37,17 @@ N_MARKERS = 6
 
 
 def bench_config():
+    """The RELEASED LGD-RNN-6 architecture (reference README.md:210-228):
+    hidden 512x2, N=2 refinement iterations, init-RNN 512x2, 5.72M params."""
     from empose_tpu.config import Configuration
     return Configuration.from_dict(dict(
-        m_type="lgd", m_rnn_init=True, m_use_gradient=True, m_average_shape=True,
-        m_estimate_shape=False, m_num_iterations=4, m_hidden_size=1024, m_num_layers=2,
+        m_type="ief", m_rnn_init=True, m_use_gradient=True, m_average_shape=True,
+        m_estimate_shape=False, m_num_iterations=2, m_hidden_size=512, m_num_layers=2,
         m_rnn_hidden_size=512, m_rnn_num_layers=2, m_rnn_bidirectional=False,
-        m_step_size=0.1, m_reprojection_loss_weight=0.01, m_fk_loss=0.0,
-        use_marker_pos=True, use_marker_ori=True, use_real_offsets=True,
-        offset_noise_level=0, n_markers=N_MARKERS, window_size=WINDOW, lr=1e-3))
+        m_step_size=0.1, m_reprojection_loss_weight=0.01, m_fk_loss=0.1,
+        m_pose_loss_weight=10.0, use_marker_pos=True, use_marker_ori=True,
+        use_real_offsets=True, offset_noise_level=0, n_markers=N_MARKERS,
+        window_size=WINDOW, lr=5e-4))
 
 
 def make_window(rng, n, f):

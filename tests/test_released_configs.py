@@ -1,0 +1,95 @@
+"""Structural parity with the 8 released model configurations.
+
+The reference README documents the released model IDs (README.md:63-74) and
+the exact retrain command + parameter count for LGD-RNN-6 (README.md:210-228:
+5,721,419 trainable parameters). Instantiating each architecture and matching
+that count validates every layer shape (LSTM packing, MLP structure, BN/PReLU
+parameters) against the reference.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from empose_tpu.config import Configuration
+from empose_tpu.nn.models import create_model
+from empose_tpu.utils.experiments import count_parameters
+import __graft_entry__ as GE
+
+# The reference's count includes 169 inert optimizable placeholders that the
+# external BodyModel registers (betas 10 + trans 3 + root_orient 3 +
+# pose_body 63 + pose_hand 90) and EM-POSE never trains; our body model is a
+# pure function, so the honest count differs by exactly that.
+BODYMODEL_PLACEHOLDER_PARAMS = 169
+LGD_RNN_6_REFERENCE_COUNT = 5_721_419
+
+LGD_RNN_6_CMD = (
+    "--bs_train 12 --bs_eval 12 --m_type ief --m_hidden_size 512 --m_num_layers 2 "
+    "--m_num_iterations 2 --window_size 32 --use_marker_pos --use_marker_ori "
+    "--use_real_offsets --offset_noise_level 0 --m_average_shape --m_use_gradient "
+    "--eval_every 700 --n_epochs 50 --m_reprojection_loss_weight 0.01 "
+    "--eval_window_size 256 --m_rnn_init --m_rnn_hidden_size 512 --lr 0.0005 "
+    "--n_markers 6 --m_pose_loss_weight 10.0 --m_fk_loss 0.1"
+)
+
+
+def test_lgd_rnn6_parameter_count_matches_reference():
+    cfg = Configuration.parse_cmd(LGD_RNN_6_CMD.split())
+    model, _ = GE._build_model(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    assert count_parameters(params) == LGD_RNN_6_REFERENCE_COUNT - BODYMODEL_PLACEHOLDER_PARAMS
+
+
+# Architecture family x sensor count of every released checkpoint
+# (README.md:63-74). Hyperparameters follow the same retrain conventions.
+RELEASED_VARIANTS = [
+    ("resnet", 6), ("resnet", 12),     # ResNet 1614876822 / 1614876778
+    ("rnn", 6), ("rnn", 12),           # BiRNN 1614861176 / 1614855569
+    ("lgd_nornn", 6), ("lgd_nornn", 12),  # LGD no-RNN 1615631965 / 1614785570
+    ("lgd_rnn", 6), ("lgd_rnn", 12),   # LGD-RNN 1615631737 / 1615200973
+]
+
+
+def variant_config(kind, n_markers):
+    base = dict(use_marker_pos=True, use_marker_ori=True, use_real_offsets=True,
+                offset_noise_level=0, n_markers=n_markers, window_size=32, lr=5e-4)
+    if kind == "resnet":
+        base.update(m_type="resnet", m_hidden_size=256, m_num_layers=2,
+                    m_estimate_shape=True, m_shape_hidden_size=256, m_average_shape=True)
+    elif kind == "rnn":
+        base.update(m_type="rnn", m_bidirectional=True, m_hidden_size=512, m_num_layers=2,
+                    m_estimate_shape=True, m_shape_hidden_size=256, m_average_shape=True)
+    elif kind == "lgd_nornn":
+        base.update(m_type="lgd", m_hidden_size=512, m_num_layers=2, m_num_iterations=2,
+                    m_use_gradient=True, m_average_shape=True,
+                    m_reprojection_loss_weight=0.01, m_fk_loss=0.1)
+    else:
+        base.update(m_type="ief", m_hidden_size=512, m_num_layers=2, m_num_iterations=2,
+                    m_use_gradient=True, m_average_shape=True, m_rnn_init=True,
+                    m_rnn_hidden_size=512, m_reprojection_loss_weight=0.01, m_fk_loss=0.1,
+                    m_pose_loss_weight=10.0)
+    return Configuration.from_dict(base)
+
+
+@pytest.mark.parametrize("kind,n_markers", RELEASED_VARIANTS)
+def test_released_variant_builds_and_runs(kind, n_markers):
+    cfg = variant_config(kind, n_markers)
+    model, _ = GE._build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    n, f = 1, 4
+    window = {
+        "marker_pos": rng.randn(n, f, 36).astype(np.float32),
+        "marker_ori": rng.randn(n, f, 108).astype(np.float32),
+        "seq_lengths": np.full(n, f, np.int32),
+        "offset_t": (rng.randn(n, 12, 3) * 0.02).astype(np.float32),
+        "offset_r": np.broadcast_to(np.eye(3, dtype=np.float32), (n, 12, 3, 3)).copy(),
+    }
+    out, _, _ = model.forward(params, state, window)
+    assert out["pose_hat"].shape == (n, f, 63)
+    assert np.isfinite(np.asarray(out["pose_hat"])).all()
+    if kind.startswith("lgd"):
+        assert out["shape_hat"].shape == (n, f, 10)
+        assert out["history"]["pose"].shape[0] == cfg.m_num_iterations + 1
