@@ -131,15 +131,22 @@ class Trainer:
         self._eval_forward = jax.jit(eval_fwd)
 
     def evaluate_valid(self, loader, metrics_engine: Optional[MetricsEngine] = None) -> Dict[str, float]:
-        """Synthetic validation pass (reference eval/helpers.py:51-111)."""
+        """Synthetic validation pass (reference eval/helpers.py:51-111).
+
+        Eval PRNG is a FIXED stream (folded from a constant base per batch),
+        the functional equivalent of the reference's reset_rng at eval start
+        (noise_functions.py:130-136): repeated passes see identical draws, so
+        eval losses are comparable across training.
+        """
         if self._eval_forward is None:
             self._build_eval_forward()
         me = metrics_engine
         if me is not None:
             me.reset()
         agg, n_samples = {}, 0
-        for host_batch in loader:
-            self.rng_key, k = jax.random.split(self.rng_key)
+        eval_base = jax.random.PRNGKey(8004)
+        for b_idx, host_batch in enumerate(loader):
+            k = jax.random.fold_in(eval_base, b_idx)
             batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
             out, vals, _ = self._eval_forward(self.params, self.state, batch, k)
             bs = host_batch["poses"].shape[0]

@@ -26,6 +26,8 @@ def main(args):
                                          print_metric_table)
     from empose_tpu.nn.models import IterativeErrorFeedback
 
+    if getattr(args, "visualize", -1) != -1:
+        print("Visualization not yet implemented.")
     model, params, state, config, model_dir, sensor = load_model(args.model_id)
 
     data_dir = C.data_dir_real()
@@ -48,4 +50,7 @@ if __name__ == "__main__":
     p.add_argument("--model_id", required=True, help="Which end-to-end model to evaluate.")
     p.add_argument("--cross_subject", action="store_true", help="Evaluate on hold-out subject 0715.")
     p.add_argument("--window_size", type=int, default=None, help="Override the eval window size.")
+    p.add_argument("--visualize", type=int, default=-1,
+                   help="Visualize a sample (reference CLI compat; reference prints "
+                        "'not implemented' too, evaluate_real.py:92).")
     main(p.parse_args())
