@@ -21,9 +21,7 @@ recompilation per unique length.
 
 from __future__ import annotations
 
-import os
-from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -121,7 +121,6 @@ def smpl_fk_markers(sensor_smpl, batch: Dict) -> Dict:
     flat = poses.reshape(n * f, -1)
     shapes = jnp.repeat(batch["shapes"], f, axis=0)
     # Reference FK uses the batch trans (zeroed by normalize_root).
-    verts, joints = None, None
     from empose_tpu.bodymodel.smplh import smplh_fk
     verts, joints52 = smplh_fk(sensor_smpl.sub, flat[:, 3:], shapes, poses_root=flat[:, :3],
                                trans=batch["trans"].reshape(n * f, 3))

@@ -11,9 +11,7 @@ TPU-native specifics:
 
 from __future__ import annotations
 
-import collections
 import os
-from functools import partial
 from typing import Dict, Iterator, Optional, Tuple
 
 import numpy as np

@@ -14,7 +14,7 @@ std over the raw per-frame-per-joint error matrix.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -30,7 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int = 8,
                  n_frames: int = 120, seed: int = 0, n_subjects: int = 2) -> None:
+    import jax
     import jax.numpy as jnp
+    from functools import partial
     from empose_tpu import constants as C
     from empose_tpu.bodymodel import synthetic as S
     from empose_tpu.bodymodel.smplh import load_smplh, smplh_fk
@@ -38,6 +40,34 @@ def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int
     from empose_tpu.data.emr import EMRWriter
 
     rng = np.random.RandomState(seed)
+
+    # Fixed-shape padded FK helpers: sequences have varying lengths, and an
+    # unpadded jit would recompile per length (minutes each on remote-compile
+    # TPU setups). Pad to a shard size, slice the valid prefix.
+    FK_PAD = 256
+    fk_sub = jax.jit(partial(smplh_fk, want_vertices=True))
+    fk_joints = jax.jit(partial(smplh_fk, want_vertices=False))
+
+    def padded(arr, pad_to):
+        k = arr.shape[0]
+        if k < pad_to:
+            arr = np.pad(arr, [(0, pad_to - k)] + [(0, 0)] * (arr.ndim - 1))
+        return arr
+
+    def fk_padded(fn, model_, poses, shape, trans):
+        nf = poses.shape[0]
+        verts_out, joints_out = [], []
+        for sf in range(0, nf, FK_PAD):
+            p = padded(poses[sf:sf + FK_PAD], FK_PAD)
+            t = padded(trans[sf:sf + FK_PAD], FK_PAD)
+            k = min(FK_PAD, nf - sf)
+            v, j = fn(model_, jnp.asarray(p[:, 3:]), jnp.asarray(shape[None]),
+                      jnp.asarray(p[:, :3]), jnp.asarray(t))
+            if v is not None:
+                verts_out.append(np.asarray(v)[:k])
+            joints_out.append(np.asarray(j)[:k])
+        return (np.concatenate(verts_out) if verts_out else None,
+                np.concatenate(joints_out))
 
     # 1. SMPL-H model.
     smpl_dir = os.path.join(out_dir, "smpl_models", "smplh_amass", "neutral")
@@ -67,9 +97,8 @@ def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int
         shape = (r.randn(10) * 0.5).astype(np.float32)
         trans = S.smooth_random_poses(r, n_frames, 3, scale=0.3).astype(np.float32)
 
-        verts, _ = smplh_fk(sub, jnp.asarray(poses[:, 3:]), jnp.asarray(shape[None]),
-                            jnp.asarray(poses[:, :3]), jnp.asarray(trans))
-        pos, ori, _ = virtual_pos_and_rot(verts, tables)
+        verts, _ = fk_padded(fk_sub, sub, poses, shape, trans)
+        pos, ori, _ = virtual_pos_and_rot(jnp.asarray(verts), tables)
         off = offsets[subj]
         ori_corr = np.einsum("fmab,mbc->fmac", np.asarray(ori), off["r"])
         pos_corr = np.asarray(pos) + np.einsum("fmab,mb->fma", np.asarray(ori), off["means"])
@@ -105,10 +134,8 @@ def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int
                 poses = S.smooth_random_poses(r, nf, 66, scale=0.35).astype(np.float32)
                 shape = (r.randn(10) * 0.5).astype(np.float32)
                 trans = S.smooth_random_poses(r, nf, 3, scale=0.3).astype(np.float32)
-                _, joints = smplh_fk(model, jnp.asarray(poses[:, 3:]), jnp.asarray(shape[None]),
-                                     jnp.asarray(poses[:, :3]), jnp.asarray(trans),
-                                     want_vertices=False)
-                joints = np.asarray(joints)[:, : C.N_JOINTS + 1].reshape(nf, -1)
+                _, joints = fk_padded(fk_joints, model, poses, shape, trans)
+                joints = joints[:, : C.N_JOINTS + 1].reshape(nf, -1)
                 w.add_record({"id": f"{name}_{i}", "gender": "neutral", "n_frames": int(nf)},
                              {"poses": poses, "betas": shape, "trans": trans, "joints": joints})
 
