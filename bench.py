@@ -101,19 +101,15 @@ def run_torch_cpu(batch=1, window=16, iters=2):
     torch.set_num_threads(os.cpu_count() or 1)
     from empose_tpu import constants as C
     from empose_tpu.bodymodel.synthetic import make_synthetic_smplh
-    from empose_tpu.data.virtual_sensors import subset_tables
     from tests.torch_ref.models import TorchIEF
     from tests.torch_ref.smpl import TorchSMPLH
 
     config = bench_config()
     npz = make_synthetic_smplh(seed=0)
     smpl = TorchSMPLH(npz, num_betas=10)
-    # The reference skins the FULL mesh inside the loop; emulate by using the
-    # full vertex set (identity subset) with the sensor tables.
+    # The reference skins the FULL mesh inside the loop; emulate with
+    # original-row tables so the oracle reads the full-mesh vertices.
     faces = np.asarray(npz["f"], np.int64)
-    _, tables_full = subset_tables(faces, C.VERTEX_IDS)
-    req, _ = subset_tables(faces, C.VERTEX_IDS)
-    # Use original-row tables so the oracle reads the full-mesh vertices.
     from empose_tpu.data.virtual_sensors import VirtualSensorTables
     tables = VirtualSensorTables.build(faces, C.VERTEX_IDS)
     model = TorchIEF(config, smpl, tables).eval()
@@ -147,8 +143,8 @@ def main():
         fps = run_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
             json.dump({"torch_cpu_fps": fps, "n_threads": os.cpu_count(),
-                       "note": "reference-architecture LGD-RNN-6 (float64 full-mesh SMPL, "
-                               "N=4 grad iterations) on host CPU"}, f, indent=2)
+                       "note": "released LGD-RNN-6 retrain architecture (float64 full-mesh SMPL, "
+                               "N=2 grad iterations) on host CPU"}, f, indent=2)
         print(json.dumps({"torch_cpu_fps": fps}))
         return
 

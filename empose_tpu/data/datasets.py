@@ -130,8 +130,9 @@ class Loader:
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # surfaced in the consumer, not lost
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -139,6 +140,8 @@ class Loader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

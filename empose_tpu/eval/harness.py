@@ -63,8 +63,10 @@ def window_generator(batch: Dict, window_size: Optional[int]) -> Iterator[Tuple[
     for i in range(n_windows):
         sf = i * window_size
         ef = min((i + 1) * window_size, seq_len)
+        # slice_window clips per-sample TRUE lengths into the chunk; do not
+        # overwrite with the chunk span — collate pads sequences to a bucket
+        # multiple, and counting pad frames as valid distorts masked losses.
         w = B.slice_window(batch, sf, ef)
-        w["seq_lengths"] = np.full_like(np.asarray(batch["seq_lengths"]), ef - sf)
         yield pad_time(w, window_size), ef - sf
 
 

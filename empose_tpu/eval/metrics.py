@@ -38,6 +38,16 @@ ANGLE_EVAL_JOINTS = (
     "neck", "l_collar", "r_collar", "head", "l_shoulder", "r_shoulder", "l_elbow", "r_elbow",
 )
 
+def _round_up_rows(n: int, bucket: int = 512) -> int:
+    """Row-count bucket for jit shape reuse (power-of-two-ish growth)."""
+    if n <= bucket:
+        size = 64
+        while size < n:
+            size *= 2
+        return size
+    return ((n + bucket - 1) // bucket) * bucket
+
+
 EUCL_IDXS = tuple(C.SMPL_JOINTS.index(j) for j in EUCL_EVAL_JOINTS)
 # Pose vector has no root -> shift by -1 (reference metrics.py:92).
 ANGLE_IDXS = tuple(C.SMPL_JOINTS.index(j) - 1 for j in ANGLE_EVAL_JOINTS)
@@ -162,15 +172,26 @@ class MetricsEngine:
             r = flat(np.asarray(pose_root))
             r_hat = flat(np.asarray(pose_root_hat))
 
-        _, kp3d = self._fk(self.smpl, jnp.asarray(p), jnp.asarray(s), jnp.asarray(r))
-        _, kp3d_hat = self._fk(self.smpl, jnp.asarray(p_hat), jnp.asarray(s_hat), jnp.asarray(r_hat))
+        # Bucket the row count: the valid-frame count is data-dependent, and
+        # an unpadded jit would recompile per distinct count (minutes each on
+        # remote-compile TPU setups). Zero-padded rows are sliced off below.
+        count = p.shape[0]
+        bucket = _round_up_rows(count)
+
+        def padr(x):
+            return np.pad(x, [(0, bucket - count), (0, 0)])
+
+        _, kp3d = self._fk(self.smpl, jnp.asarray(padr(p)), jnp.asarray(padr(s)), jnp.asarray(padr(r)))
+        _, kp3d_hat = self._fk(self.smpl, jnp.asarray(padr(p_hat)), jnp.asarray(padr(s_hat)),
+                               jnp.asarray(padr(r_hat)))
         kp3d = kp3d[:, : C.N_JOINTS + 1]
         kp3d_hat = kp3d_hat[:, : C.N_JOINTS + 1]
 
         eucl, eucl_pa = _eucl_dists(kp3d, kp3d_hat)
-        self.eucl_dists.append(np.asarray(eucl))
-        self.eucl_dists_pa.append(np.asarray(eucl_pa))
-        self.angle_diffs.append(np.asarray(self._angles(jnp.asarray(p), jnp.asarray(p_hat))))
+        self.eucl_dists.append(np.asarray(eucl)[:count])
+        self.eucl_dists_pa.append(np.asarray(eucl_pa)[:count])
+        angles = self._angles(jnp.asarray(padr(p)), jnp.asarray(padr(p_hat)))
+        self.angle_diffs.append(np.asarray(angles)[:count])
 
     def compute_joint_dist(self, joints, joints_hat, seq_lengths=None, frame_mask=None):
         """Positional metrics from precomputed joints (reference metrics.py:243-265)."""
@@ -181,9 +202,12 @@ class MetricsEngine:
             return
         kp = joints[mask].reshape(-1, joints.shape[-1] // 3, 3)[:, : C.N_JOINTS + 1]
         kp_hat = np.asarray(joints_hat)[mask].reshape(kp.shape[0], -1, 3)[:, : C.N_JOINTS + 1]
-        eucl, eucl_pa = _eucl_dists(jnp.asarray(kp), jnp.asarray(kp_hat))
-        self.eucl_dists.append(np.asarray(eucl))
-        self.eucl_dists_pa.append(np.asarray(eucl_pa))
+        count = kp.shape[0]
+        bucket = _round_up_rows(count)
+        pad = [(0, bucket - count), (0, 0), (0, 0)]
+        eucl, eucl_pa = _eucl_dists(jnp.asarray(np.pad(kp, pad)), jnp.asarray(np.pad(kp_hat, pad)))
+        self.eucl_dists.append(np.asarray(eucl)[:count])
+        self.eucl_dists_pa.append(np.asarray(eucl_pa)[:count])
 
     def compute_angle_dist(self, pose, pose_hat, seq_lengths=None, frame_mask=None):
         """Angular metric only (reference metrics.py:267-287)."""
@@ -194,7 +218,11 @@ class MetricsEngine:
             return
         p = pose[mask]
         p_hat = np.asarray(pose_hat)[mask]
-        self.angle_diffs.append(np.asarray(self._angles(jnp.asarray(p), jnp.asarray(p_hat))))
+        count = p.shape[0]
+        bucket = _round_up_rows(count)
+        pad = [(0, bucket - count), (0, 0)]
+        angles = self._angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
+        self.angle_diffs.append(np.asarray(angles)[:count])
 
     def get_metrics(self, eucl_idxs_select: bool = True, angle_idxs_select: bool = True) -> Dict[str, float]:
         """Aggregate (reference metrics.py:289-330): means over joints-subset."""

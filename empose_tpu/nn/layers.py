@@ -320,6 +320,11 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
 def rnn_layer_init(key, input_size: int, hidden_size: int, num_layers: int,
                    output_size: Optional[int] = None, bidirectional: bool = False,
                    learn_init_state: bool = False):
+    if bidirectional and learn_init_state:
+        raise NotImplementedError(
+            "bidirectional + learn_init_state: the reference's cell_init reshapes "
+            "without the direction axis (layers.py:121-131) and crashes in torch "
+            "as well; no released model uses this combination.")
     k_lstm, k_h, k_c, k_out = jax.random.split(key, 4)
     num_dirs = 2 if bidirectional else 1
     params = {"lstm": lstm_init(k_lstm, input_size, hidden_size, num_layers, bidirectional)}

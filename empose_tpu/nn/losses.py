@@ -35,7 +35,10 @@ def padded_loss(gt: jnp.ndarray, hat: jnp.ndarray, elementwise_fn, seq_lengths: 
     """
     unreduced = jnp.mean(elementwise_fn(gt, hat), axis=-1)  # (N, F)
     mask = mask_from_seq_lengths(seq_lengths, unreduced.shape[1])
-    n_frames = seq_lengths.astype(unreduced.dtype)
+    # max(len, 1): zero-length entries (fully-padded chunk tails) contribute
+    # an exact 0 instead of 0/0 (cannot occur in the reference, which never
+    # pads the batch axis).
+    n_frames = jnp.maximum(seq_lengths, 1).astype(unreduced.dtype)
     loss_per_sample = jnp.sum(unreduced * mask, axis=-1) / n_frames
     return jnp.mean(loss_per_sample)
 
@@ -62,7 +65,7 @@ def reconstruction_loss(markers_gt: jnp.ndarray, markers_hat: jnp.ndarray,
         per_sample = per_sample * frame_mask
     if seq_lengths is not None:
         mask = mask_from_seq_lengths(seq_lengths, per_sample.shape[1])
-        per_sample = jnp.sum(per_sample * mask, axis=-1) / seq_lengths.astype(per_sample.dtype)
+        per_sample = jnp.sum(per_sample * mask, axis=-1) / jnp.maximum(seq_lengths, 1).astype(per_sample.dtype)
     return jnp.mean(per_sample)
 
 
@@ -80,5 +83,5 @@ def normal_mse(x_gt: jnp.ndarray, x_hat: jnp.ndarray,
         per_sample = per_sample * frame_mask
     if seq_lengths is not None:
         mask = mask_from_seq_lengths(seq_lengths, per_sample.shape[1])
-        per_sample = jnp.sum(per_sample * mask, axis=-1) / seq_lengths.astype(per_sample.dtype)
+        per_sample = jnp.sum(per_sample * mask, axis=-1) / jnp.maximum(seq_lengths, 1).astype(per_sample.dtype)
     return jnp.mean(per_sample)

@@ -317,10 +317,12 @@ class SimpleRNN(BaseModel):
         x = self.prepare_inputs(window)
         if self.learn_init_state:
             carry = None  # cell_init recomputes from frame 0 regardless
+        k_rnn = None if key is None else jax.random.fold_in(key, 0)
+        k_shape = None if key is None else jax.random.fold_in(key, 1)
         lstm_out, final_state = L.rnn_layer_apply(
             params["rnn"], x, window["seq_lengths"], carry,
             num_layers=self.num_layers, hidden_size=self.hidden_size,
-            dropout_p=self.config.m_dropout, train=train, key=key)
+            dropout_p=self.config.m_dropout, train=train, key=k_rnn)
         pose_hat = L.linear_apply(params["to_pose"], lstm_out)
 
         new_state = dict(state)
@@ -329,7 +331,7 @@ class SimpleRNN(BaseModel):
             shape_hat, new_state["to_shape"] = L.mlp_apply(
                 params["to_shape"], state["to_shape"], lstm_out,
                 skip_connection=self.config.m_skip_connections,
-                dropout_p=self.config.m_dropout_hidden, train=train, key=key)
+                dropout_p=self.config.m_dropout_hidden, train=train, key=k_shape)
             if self.shape_avg:
                 shape_hat = _average_over_frames(shape_hat)
 
@@ -461,22 +463,28 @@ class IterativeErrorFeedback(BaseModel):
         new_state = dict(state)
         new_carry = None
         inputs_flat = x.reshape(n * f, dof)
+
+        def subkey(tag: int):
+            # Distinct dropout randomness per module application (torch draws
+            # fresh randomness per nn.Dropout call).
+            return None if key is None else jax.random.fold_in(key, tag)
+
         if self.rnn_init:
             lstm_out, new_carry = L.rnn_layer_apply(
                 params["rnn"], x, seq_lengths, carry,
                 num_layers=self.config.m_rnn_num_layers, hidden_size=self.config.m_rnn_hidden_size,
-                dropout_p=self.config.m_dropout, train=train, key=key)
+                dropout_p=self.config.m_dropout, train=train, key=subkey(0))
             pose_hat = L.linear_apply(params["pose_net_init"], lstm_out).reshape(n * f, -1)
             shape_hat = L.linear_apply(params["shape_net_init"], lstm_out).reshape(n * f, -1)
         else:
             pose_hat, new_state["pose_net_init"] = L.mlp_apply(
                 params["pose_net_init"], state["pose_net_init"], inputs_flat,
                 skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=key)
+                train=train, key=subkey(1))
             shape_hat, new_state["shape_net_init"] = L.mlp_apply(
                 params["shape_net_init"], state["shape_net_init"], inputs_flat,
                 skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=key)
+                train=train, key=subkey(2))
 
         def to_single_shape(s):
             return _average_over_frames(s.reshape(n, f, -1)).reshape(n * f, -1)
@@ -522,11 +530,11 @@ class IterativeErrorFeedback(BaseModel):
             pose_delta, pose_iter_state = L.mlp_apply(
                 params["pose_net_iter"], pose_iter_state, iter_in,
                 skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=key)
+                train=train, key=subkey(10 + 2 * i))
             shape_delta, shape_iter_state = L.mlp_apply(
                 params["shape_net_iter"], shape_iter_state, iter_in,
                 skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=key)
+                train=train, key=subkey(11 + 2 * i))
             if self.shape_avg:
                 shape_delta = to_single_shape(shape_delta)
 

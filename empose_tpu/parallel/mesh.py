@@ -57,26 +57,26 @@ def replicate(tree, mesh: Mesh):
 
 
 def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
-    """Right-pad the batch axis to a multiple of the mesh size.
+    """Pad the batch axis to a multiple of the mesh size by REPEATING the
+    leading samples (wrap-around).
 
-    Padded entries get seq_length 0, so masked losses ignore them... except
-    the final mean-over-batch; callers that need exact parity should keep
-    batch sizes divisible by the mesh.
+    Repetition keeps every loss term well-defined (no all-zero garbage
+    sequences in the gradient all-reduce) at the cost of double-weighting the
+    repeated samples in the batch mean; keep batch sizes divisible by the
+    mesh for exact parity.
     """
     n = batch["poses"].shape[0]
     target = ((n + n_devices - 1) // n_devices) * n_devices
     if target == n:
         return batch
+    reps = np.arange(target - n) % n
     out = {}
     for k, v in batch.items():
         if k == "ids":
-            out[k] = v
+            out[k] = list(v) + [v[int(i)] for i in reps]
             continue
         v = np.asarray(v)
-        pad = [(0, target - n)] + [(0, 0)] * (v.ndim - 1)
-        out[k] = np.pad(v, pad)
-    out["seq_lengths"] = np.concatenate(
-        [np.asarray(batch["seq_lengths"]), np.ones(target - n, np.int32)])
+        out[k] = np.concatenate([v, v[reps]], axis=0)
     return out
 
 

@@ -19,10 +19,13 @@ def test_mesh_and_shard_batch():
 
 
 def test_pad_batch_to_devices():
-    batch = {"poses": np.zeros((5, 4, 66), np.float32), "seq_lengths": np.full(5, 4, np.int32)}
+    batch = {"poses": np.arange(5 * 4 * 66, dtype=np.float32).reshape(5, 4, 66),
+             "seq_lengths": np.asarray([4, 3, 2, 4, 1], np.int32)}
     out = M.pad_batch_to_devices(batch, 8)
     assert out["poses"].shape[0] == 8
-    assert list(out["seq_lengths"][5:]) == [1, 1, 1]
+    # Padding repeats the leading samples (no all-zero garbage sequences).
+    np.testing.assert_array_equal(out["poses"][5:], batch["poses"][:3])
+    assert list(out["seq_lengths"][5:]) == [4, 3, 2]
 
 
 def test_dryrun_multichip_entrypoint():

@@ -129,7 +129,8 @@ def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int
         os.makedirs(corp_dir, exist_ok=True)
         with EMRWriter(os.path.join(corp_dir, "corpus.emr")) as w:
             for i in range(count):
-                r = np.random.RandomState(seed + hash(name) % 1000 + i)
+                import zlib
+                r = np.random.RandomState(seed + zlib.crc32(name.encode()) % 1000 + i)
                 nf = n_frames + r.randint(-n_frames // 4, n_frames // 4)
                 poses = S.smooth_random_poses(r, nf, 66, scale=0.35).astype(np.float32)
                 shape = (r.randn(10) * 0.5).astype(np.float32)
