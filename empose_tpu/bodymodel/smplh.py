@@ -105,12 +105,20 @@ class SMPLHModel:
       v_template: (V, 3)           rest-pose template vertices
       shapedirs:  (V, 3, B)        shape blendshapes
       posedirs:   (P, V*3)         pose blendshapes, P = (J-1)*9, pre-transposed
-      j_regressor:(J, V)           joint regressor
+      j_regressor:(J, V)           joint regressor (kept for provenance)
       weights:    (V, J)           LBS weights
+      j_template: (J, 3)           J_regressor @ v_template (precomputed)
+      j_shapedirs:(J, 3, B)        J_regressor @ shapedirs  (precomputed)
     Static fields (aux data):
       parents:    tuple of J ints  kinematic tree, parents[0] == -1
       faces:      (F, 3) numpy     mesh topology
       vertex_ids: original mesh vertex id per row (None = full mesh)
+
+    ``j_template``/``j_shapedirs`` factor the rest-joint regression
+    J (V x) @ (v_template + shapedirs . beta) into a precomputed pair, turning
+    the per-call 8.8-GFLOP full-mesh contraction into a (J, 3, B) matmul —
+    mathematically identical (the regression commutes with the shape blend;
+    pose blendshapes never enter J, matching smplx/human_body_prior).
     """
 
     v_template: jnp.ndarray
@@ -118,6 +126,8 @@ class SMPLHModel:
     posedirs: jnp.ndarray
     j_regressor: jnp.ndarray
     weights: jnp.ndarray
+    j_template: jnp.ndarray = None
+    j_shapedirs: jnp.ndarray = None
     parents: Tuple[int, ...] = field(default=())
     faces: Optional[np.ndarray] = field(default=None, repr=False)
     vertex_ids: Optional[Tuple[int, ...]] = field(default=None, repr=False)
@@ -126,10 +136,22 @@ class SMPLHModel:
         # Aux data must be hashable for jit cache keys.
         if isinstance(self.faces, np.ndarray):
             object.__setattr__(self, "faces", _StaticArray(self.faces))
+        # Precompute the factored joint regression when not supplied
+        # (load_smplh provides float64-accurate versions; this f32 fallback
+        # covers directly-constructed models).
+        if self.j_template is None:
+            jr = np.asarray(self.j_regressor, np.float64)
+            vt = np.asarray(self.v_template, np.float64)
+            sd = np.asarray(self.shapedirs, np.float64)
+            dtype = self.v_template.dtype
+            object.__setattr__(self, "j_template", jnp.asarray(jr @ vt, dtype=dtype))
+            object.__setattr__(self, "j_shapedirs",
+                               jnp.asarray(np.einsum("jv,vdb->jdb", jr, sd), dtype=dtype))
 
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
-        leaves = (self.v_template, self.shapedirs, self.posedirs, self.j_regressor, self.weights)
+        leaves = (self.v_template, self.shapedirs, self.posedirs, self.j_regressor,
+                  self.weights, self.j_template, self.j_shapedirs)
         aux = (self.parents, self.faces, self.vertex_ids)
         return leaves, aux
 
@@ -156,18 +178,18 @@ class SMPLHModel:
         return mesh_ops.vertex_face_indices(self.n_vertices, self.faces)
 
     def subset(self, vertex_ids: Sequence[int]) -> "SMPLHModel":
-        """Restrict the skinned vertex set to ``vertex_ids`` (rows of LBS tables).
+        """Restrict the skinned vertex set to ``vertex_ids`` (rows of ALL
+        per-vertex tables).
 
-        Joint regression still uses the full template (j_regressor is defined
-        over all mesh vertices), so joints are unchanged; only the per-vertex
-        outputs shrink.
+        Joints are unaffected: the rest-joint regression uses the precomputed
+        j_template/j_shapedirs factorization, not the vertex tables.
         """
         idx = np.asarray(list(vertex_ids), dtype=np.int64)
         v3 = (idx[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
         return replace(
             self,
-            v_template=self.v_template,  # kept full for J regression
-            shapedirs=self.shapedirs,
+            v_template=self.v_template[idx],
+            shapedirs=self.shapedirs[idx],
             posedirs=self.posedirs[:, v3],
             weights=self.weights[idx],
             vertex_ids=tuple(int(i) for i in idx),
@@ -204,12 +226,16 @@ def load_smplh(npz_path: Optional[str] = None, num_betas: int = C.N_SHAPE_PARAMS
     parents = kintree[0].copy()
     parents[0] = -1
     faces = np.asarray(data["f"], dtype=np.int64)
+    j_template = j_regressor @ v_template  # (J, 3), float64
+    j_shapedirs = np.einsum("jv,vdb->jdb", j_regressor, shapedirs)  # (J, 3, B)
     return SMPLHModel(
         v_template=jnp.asarray(v_template, dtype=dtype),
         shapedirs=jnp.asarray(shapedirs, dtype=dtype),
         posedirs=jnp.asarray(posedirs, dtype=dtype),
         j_regressor=jnp.asarray(j_regressor, dtype=dtype),
         weights=jnp.asarray(weights, dtype=dtype),
+        j_template=jnp.asarray(j_template, dtype=dtype),
+        j_shapedirs=jnp.asarray(j_shapedirs, dtype=dtype),
         parents=tuple(int(p) for p in parents),
         faces=faces,
     )
@@ -219,28 +245,47 @@ def load_smplh(npz_path: Optional[str] = None, num_betas: int = C.N_SHAPE_PARAMS
 # Forward kinematics + LBS
 # ---------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _tree_levels(parents: Tuple[int, ...]) -> Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]], ...]:
+    """Group joints by depth: ((joint_ids, parent_ids), ...) per level > 0."""
+    depth = [0] * len(parents)
+    for i in range(1, len(parents)):
+        depth[i] = depth[parents[i]] + 1
+    levels = []
+    for d in range(1, max(depth) + 1):
+        ids = tuple(i for i in range(len(parents)) if depth[i] == d)
+        levels.append((ids, tuple(parents[i] for i in ids)))
+    return tuple(levels)
+
+
 def _rigid_transform_chain(rot_mats: jnp.ndarray, joints: jnp.ndarray, parents: Tuple[int, ...]):
     """Global joint transforms over the fixed tree (smplx batch_rigid_transform).
 
+    Level-parallel schedule: all joints at the same tree depth compose against
+    their parents in ONE batched matmul, so the serial dependency chain is the
+    tree depth (~10 for SMPL-H) rather than the joint count (52) — the naive
+    per-joint unroll is latency-bound on accelerators.
+
     :param rot_mats: (N, J, 3, 3); :param joints: (N, J, 3) rest joints.
-    :return: posed joints (N, J, 3), relative transforms A (N, J, 4, 4).
+    :return: posed joints (N, J, 3), global rotations (N, J, 3, 3),
+             skinning translations (N, J, 3).
     """
     n, j = joints.shape[0], joints.shape[1]
     rel_joints = joints.at[:, 1:].add(-joints[:, list(parents[1:])])
 
-    # Unrolled chain of 4x4 composes — J is a compile-time constant (22/52).
-    rots = [rot_mats[:, i] for i in range(j)]
-    locs = [rel_joints[:, i] for i in range(j)]
-    glob_rot = [None] * j
-    glob_pos = [None] * j
-    glob_rot[0] = rots[0]
-    glob_pos[0] = locs[0]
-    for i in range(1, j):
-        p = parents[i]
-        glob_rot[i] = jnp.matmul(glob_rot[p], rots[i], precision=_HI)
-        glob_pos[i] = jnp.einsum("nab,nb->na", glob_rot[p], locs[i], precision=_HI) + glob_pos[p]
-    R = jnp.stack(glob_rot, axis=1)  # (N, J, 3, 3)
-    t = jnp.stack(glob_pos, axis=1)  # (N, J, 3)
+    R = rot_mats  # level 0 (root) is already its own global rotation
+    t = rel_joints
+    for ids, par in _tree_levels(parents):
+        ids_a = jnp.asarray(ids)
+        par_a = jnp.asarray(par)
+        R_par = R[:, par_a]  # (N, K, 3, 3) — parents are at shallower levels, already global
+        R_new = jnp.matmul(R_par, rot_mats[:, ids_a], precision=_HI)
+        t_new = jnp.einsum("nkab,nkb->nka", R_par, rel_joints[:, ids_a], precision=_HI) + t[:, par_a]
+        R = R.at[:, ids_a].set(R_new)
+        t = t.at[:, ids_a].set(t_new)
 
     # A = [R | t - R @ j_rest] (the smplx 'relative transform' for skinning).
     t_skin = t - jnp.einsum("njab,njb->nja", R, joints, precision=_HI)
@@ -289,9 +334,10 @@ def smplh_fk(
     full_pose = jnp.concatenate([poses_root.astype(dtype), poses_body, poses_hands.astype(dtype)], axis=-1)
     rot_mats = rodrigues(full_pose.reshape(n, model.n_joints, 3))
 
-    # Shape blendshapes + joint regression (on the full template).
-    v_shaped = model.v_template[None] + jnp.einsum("vdb,nb->nvd", model.shapedirs, betas, precision=_HI)
-    j_rest = jnp.einsum("jv,nvd->njd", model.j_regressor, v_shaped, precision=_HI)
+    # Rest joints via the factored regression (J_regressor commutes with the
+    # shape blend) — a (J, 3, B) matmul instead of a full-mesh contraction.
+    j_rest = model.j_template[None] + jnp.einsum("jdb,nb->njd", model.j_shapedirs, betas,
+                                                 precision=_HI)
 
     joints_posed, R_glob, t_skin = _rigid_transform_chain(rot_mats, j_rest, model.parents)
     joints_out = joints_posed + trans[:, None]
@@ -299,16 +345,12 @@ def smplh_fk(
     if not want_vertices:
         return None, joints_out
 
-    # Pose blendshapes on the (possibly subset) skinned vertex rows.
+    # Shape + pose blendshapes on the stored (possibly subset) vertex rows.
+    v_rest = model.v_template[None] + jnp.einsum("vdb,nb->nvd", model.shapedirs, betas,
+                                                 precision=_HI)
     ident = jnp.eye(3, dtype=dtype)
     pose_feature = (rot_mats[:, 1:] - ident).reshape(n, -1)
     pose_offsets = jnp.matmul(pose_feature, model.posedirs, precision=_HI).reshape(n, -1, 3)
-
-    if model.vertex_ids is not None:
-        rows = jnp.asarray(np.asarray(model.vertex_ids))
-        v_rest = v_shaped[:, rows]
-    else:
-        v_rest = v_shaped
     v_posed = v_rest + pose_offsets
 
     # LBS: blend global transforms per vertex. W:(Vs, J); R_glob:(N, J, 3, 3).
