@@ -135,7 +135,8 @@ def load_model(model_id, experiment_dir: Optional[str] = None):
     else:
         raise FileNotFoundError(f"No model.pth or native checkpoint_model in {model_dir}")
 
-    print(f"Model created with {U.count_parameters(params)} trainable parameters")
+    import sys as _sys
+    print(f"Model created with {U.count_parameters(params)} trainable parameters", file=_sys.stderr)
     return model, params, state, config, model_dir, sensor
 
 
