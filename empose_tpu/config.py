@@ -79,6 +79,8 @@ _FLAG_SPECS = [
     ("bf16", False, dict(action="store_true", help="Run matmuls in bfloat16 where safe.")),
     ("resume", False, dict(action="store_true", help="Resume full training state from the latest checkpoint.")),
     ("profile_dir", None, dict(help="If set, capture a jax.profiler trace into this directory.")),
+    ("remat", False, dict(action="store_true", help="Rematerialize FK inside the LGD loop "
+                                                    "(trades FLOPs for training memory).")),
 ]
 
 

@@ -495,6 +495,12 @@ class IterativeErrorFeedback(BaseModel):
         def markers_of(pose, shape):
             return self.smpl.estimated_markers(pose, shape, offset_r_flat, offset_t_flat)
 
+        if getattr(self.config, "remat", False):
+            # Rematerialize the FK+sensor block in the backward pass: the LGD
+            # loop holds N+1 full FK activation sets otherwise (long windows
+            # at training time are memory-bound, not FLOP-bound).
+            markers_of = jax.checkpoint(markers_of)
+
         marker_pos_hat, marker_ori_hat, joints_hat = markers_of(pose_hat, shape_hat)
         joints_hat = joints_hat.reshape(n * f, -1)
 

@@ -159,3 +159,41 @@ def test_ief_streaming_chunks_match_torch(synthetic_smplh_npz, smplh_model):
         outs_j.append(np.asarray(out["pose_hat"]))
     full_j = np.concatenate(outs_j, axis=1)
     np.testing.assert_allclose(full_j, full_t, atol=5e-4)
+
+
+def test_remat_matches_no_remat(synthetic_smplh_npz, smplh_model):
+    """jax.checkpoint in the LGD loop changes memory, not values/grads."""
+    import jax
+    torch.manual_seed(9)
+    base = dict(m_type="lgd", m_num_iterations=2, m_hidden_size=16, m_num_layers=1,
+                m_step_size=0.1, m_use_gradient=True, m_rnn_init=False, m_no_batch_norm=True,
+                m_average_shape=True, n_markers=12, m_reprojection_loss_weight=0.01,
+                use_marker_pos=True, use_marker_ori=True, window_size=3, lr=1e-3, m_fk_loss=0.0)
+    sensor = MZ.SensorSMPL(smplh_model)
+    m1 = MZ.IterativeErrorFeedback(Configuration.from_dict(base), sensor)
+    m2 = MZ.IterativeErrorFeedback(Configuration.from_dict(dict(base, remat=True)), sensor)
+    params, state = m1.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(2)
+    n, f = 2, 3
+    batch = {
+        "marker_pos": rng.randn(n, f, 36).astype(np.float32),
+        "marker_ori": rng.randn(n, f, 108).astype(np.float32),
+        "seq_lengths": np.full(n, f, np.int32),
+        "offset_t": (rng.randn(n, 12, 3) * 0.02).astype(np.float32),
+        "offset_r": np.broadcast_to(np.eye(3, dtype=np.float32), (n, 12, 3, 3)).copy(),
+        "poses": (rng.randn(n, f, 66) * 0.2).astype(np.float32),
+        "shapes": (rng.randn(n, 10) * 0.3).astype(np.float32),
+    }
+
+    def grads_of(model):
+        def loss_fn(p):
+            out, _, _ = model.forward(p, state, batch, train=True)
+            total, _ = model.compute_loss(batch, out)
+            return total
+        return jax.grad(loss_fn)(params)
+
+    g1 = jax.tree_util.tree_leaves(grads_of(m1))
+    g2 = jax.tree_util.tree_leaves(grads_of(m2))
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
