@@ -89,3 +89,31 @@ def test_resampled_corpus_loads_into_training_pipeline(fake_amass_tree, assets_e
     batch = next(iter(loader))
     assert batch["poses"].shape[0] == 2
     assert np.isfinite(batch["joints_gt"]).all()
+
+
+def test_bulk_synthesize(assets_env, tmp_path):
+    from empose_tpu import constants as C
+    from tools.bulk_synthesize import synthesize_corpus
+    from empose_tpu.data.emr import EMRReader
+    out = str(tmp_path / "materialized.emr")
+    n = synthesize_corpus(os.path.join(C.data_dir_synth(), "amass_emr"), out,
+                          window=16, batch=2, seed=1)
+    assert n >= 3
+    r = EMRReader(out)
+    rec0_pos = r.read(0, "marker_pos")
+    assert rec0_pos.shape[-1] == 36
+    assert np.isfinite(rec0_pos).all()
+    assert r.read(0, "offset_r").shape == (12, 3, 3)
+
+
+def test_bulk_synthesize_dp_mesh(assets_env, tmp_path):
+    """Bulk datagen over the 8-device mesh produces the same record shapes."""
+    from empose_tpu import constants as C
+    from tools.bulk_synthesize import synthesize_corpus
+    from empose_tpu.data.emr import EMRReader
+    out = str(tmp_path / "materialized_dp.emr")
+    n = synthesize_corpus(os.path.join(C.data_dir_synth(), "amass_emr"), out,
+                          window=16, batch=2, seed=1, dp_devices=8)
+    r = EMRReader(out)
+    assert len(r) == n
+    assert np.isfinite(r.read(0, "marker_pos")).all()
