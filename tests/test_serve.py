@@ -61,3 +61,38 @@ def test_flush_and_reset(rnn_setup):
     assert np.allclose(o["shape"][0], o["shape"][-1])
     predictor.reset()
     assert predictor.flush() is None
+
+
+def test_streaming_lgd_with_carry(rnn_setup):
+    """LGD-RNN predictor: chunked streaming == manual chunked forward with carry."""
+    cfg = Configuration.from_dict(dict(
+        m_type="lgd", m_rnn_init=True, m_use_gradient=True, m_average_shape=True,
+        m_num_iterations=1, m_hidden_size=16, m_num_layers=1, m_rnn_hidden_size=8,
+        m_rnn_num_layers=1, m_rnn_bidirectional=False,
+        use_marker_pos=True, use_marker_ori=True, use_real_offsets=True,
+        n_markers=12, window_size=4, lr=1e-3))
+    model, _ = GE._build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    predictor = StreamingPredictor(model, params, state, chunk_size=4)
+
+    rng = np.random.RandomState(2)
+    f = 8
+    pos = rng.randn(f, 36).astype(np.float32)
+    ori = rng.randn(f, 108).astype(np.float32)
+    out = predictor.push(pos, ori)
+    assert out["pose_body"].shape == (8, 63)
+    assert out["shape"].shape == (8, 10)
+
+    # Manual two-chunk forward with carried state.
+    import jax.numpy as jnp
+    carry = model.initial_carry()
+    manual = []
+    for c in range(2):
+        sl = slice(c * 4, (c + 1) * 4)
+        w = {"marker_pos": jnp.asarray(pos[None, sl]), "marker_ori": jnp.asarray(ori[None, sl]),
+             "seq_lengths": jnp.asarray([4]),
+             "offset_t": jnp.asarray(predictor.offset_t),
+             "offset_r": jnp.asarray(predictor.offset_r)}
+        o, _, carry = model.forward(params, state, w, carry)
+        manual.append(np.asarray(o["pose_hat"])[0])
+    np.testing.assert_allclose(out["pose_body"], np.concatenate(manual), atol=1e-5)
