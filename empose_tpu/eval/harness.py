@@ -89,15 +89,25 @@ def preprocess_real_chunk(sensor: SensorSMPL, chunk: Dict) -> Dict:
 
 
 class EvalSession:
-    """Jit-cached per-chunk eval pipeline for one model."""
+    """Jit-cached per-chunk eval pipeline for one model.
 
-    def __init__(self, model, params, state, sensor: SensorSMPL):
+    :param noise_fn: optional f(chunk, key) applied to the sensor INPUTS per
+      chunk — eval-time sensor-fault injection for robustness studies (the
+      paper's suppression ablations; reference noise_functions.py:31-33 wires
+      suppression noise into validation). Keys are deterministic per chunk
+      index, the functional equivalent of the reference's reset_rng.
+    """
+
+    def __init__(self, model, params, state, sensor: SensorSMPL, noise_fn=None):
         self.model = model
         self.params = params
         self.state = state
         self.sensor = sensor
+        self._chunk_counter = 0
 
-        def run_chunk(params, state, chunk, carry):
+        def run_chunk(params, state, chunk, carry, key):
+            if noise_fn is not None:
+                chunk = noise_fn(chunk, key)
             chunk = preprocess_real_chunk(sensor, chunk)
             out, _, new_carry = model.forward(params, state, chunk, carry, train=False)
             _, loss_vals = model.compute_loss(chunk, out)
@@ -106,10 +116,13 @@ class EvalSession:
             return slim, loss_vals, new_carry
 
         self._run_chunk = jax.jit(run_chunk)
+        self._noise_base_key = jax.random.PRNGKey(8004)
 
     def forward_chunk(self, chunk: Dict, carry):
         device_chunk = {k: jnp.asarray(v) for k, v in chunk.items() if k != "ids"}
-        return self._run_chunk(self.params, self.state, device_chunk, carry)
+        key = jax.random.fold_in(self._noise_base_key, self._chunk_counter)
+        self._chunk_counter += 1
+        return self._run_chunk(self.params, self.state, device_chunk, carry, key)
 
 
 def load_model(model_id, experiment_dir: Optional[str] = None):

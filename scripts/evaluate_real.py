@@ -39,7 +39,15 @@ def main(args):
     is_lgd = isinstance(model, IterativeErrorFeedback)
     window_size = args.window_size if args.window_size else (256 if is_lgd else None)
 
-    session = EvalSession(model, params, state, sensor)
+    noise_fn = None
+    if getattr(args, "suppression_length", 0.0) > 0.0:
+        # Robustness study: zero random sensors over random windows at eval
+        # time (the paper's sensor-dropout ablation).
+        from empose_tpu.data.noise import marker_suppression_noise_fn
+        noise_fn = marker_suppression_noise_fn(args.suppression_length,
+                                               getattr(args, "suppression_markers", 1),
+                                               0.0, config.n_markers)
+    session = EvalSession(model, params, state, sensor, noise_fn=noise_fn)
     rows, overall = evaluate_real_sequences(session, loader, window_size)
     print_metric_table(rows, args.model_id)
     return overall
@@ -50,6 +58,11 @@ if __name__ == "__main__":
     p.add_argument("--model_id", required=True, help="Which end-to-end model to evaluate.")
     p.add_argument("--cross_subject", action="store_true", help="Evaluate on hold-out subject 0715.")
     p.add_argument("--window_size", type=int, default=None, help="Override the eval window size.")
+    p.add_argument("--suppression_length", type=float, default=0.0,
+                   help="Eval-time sensor dropout: fraction of each window a random "
+                        "marker is suppressed (robustness study).")
+    p.add_argument("--suppression_markers", type=int, default=1,
+                   help="How many markers are suppressed at a time.")
     p.add_argument("--visualize", type=int, default=-1,
                    help="Visualize a sample (reference CLI compat; reference prints "
                         "'not implemented' too, evaluate_real.py:92).")

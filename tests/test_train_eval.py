@@ -154,3 +154,25 @@ def test_load_model_and_eval_data_partitions(assets_env, trained_dir, monkeypatc
     session, loader, config = load_model_and_eval_data("111000", partition="valid")
     batch = next(iter(loader))
     assert "joints_gt" in batch
+
+
+def test_eval_time_suppression_noise(assets_env, trained_dir, monkeypatch):
+    """Robustness eval: sensor dropout at eval changes the metrics."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences, load_model
+    from empose_tpu.data.datasets import RealDataset, Loader
+    from empose_tpu.data.batches import collate_real
+    from empose_tpu.data.noise import marker_suppression_noise_fn
+
+    model, params, state, cfg, _, sensor = load_model("111000")
+    ds = RealDataset(C.data_dir_real())
+    loader = Loader(ds, 1, collate_real, shuffle=False)
+
+    clean = EvalSession(model, params, state, sensor)
+    _, overall_clean = evaluate_real_sequences(clean, loader, 32)
+
+    noisy = EvalSession(model, params, state, sensor,
+                        noise_fn=marker_suppression_noise_fn(0.9, 4, 0.0, 12))
+    _, overall_noisy = evaluate_real_sequences(noisy, loader, 32)
+    assert overall_noisy["MPJPE [mm]"] != overall_clean["MPJPE [mm]"]
+    assert np.isfinite(overall_noisy["MPJPE [mm]"])
