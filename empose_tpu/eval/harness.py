@@ -168,6 +168,7 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
     for batch in loader:
         seq_id = batch["ids"][0]
         true_len = int(batch["seq_lengths"][0])
+        print(f"Evaluate {seq_id} ({true_len} frames)")  # reference evaluate_real.py:48
         # Sequence-level root normalization before chunking (the chunk origin
         # depends on the sequence start; reference evaluate_real.py:50).
         device_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
