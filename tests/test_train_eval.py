@@ -22,21 +22,39 @@ def tiny_train_config(**kw):
 
 
 @pytest.fixture(scope="module")
-def trained_dir(tmp_path_factory):
-    return str(tmp_path_factory.mktemp("exp"))
+def trained_dir(tmp_path_factory, assets_dir):
+    """Train a tiny model once; every test in this module reuses it."""
+    exp_dir = str(tmp_path_factory.mktemp("exp"))
+    envs = {"SMPL_MODELS": os.path.join(assets_dir, "smpl_models"),
+            "EM_DATA_REAL": os.path.join(assets_dir, "data_real"),
+            "EM_DATA_SYNTH": os.path.join(assets_dir, "data_synth"),
+            "EM_EXPERIMENTS": exp_dir}
+    old = {k: os.environ.get(k) for k in envs}
+    os.environ.update(envs)
+    try:
+        from scripts.train import main as train_main
+        cfg = tiny_train_config(experiment_id="111000")
+        model_dir, trainer = train_main(cfg, max_steps=3)
+        assert trainer.global_step == 3
+        trainer.save(os.path.join(model_dir, "checkpoint"))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return exp_dir
 
 
 def test_train_steps_and_checkpoint(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
-    from scripts.train import main as train_main
-    cfg = tiny_train_config(experiment_id="111000")
-    model_dir, trainer = train_main(cfg, max_steps=3)
-    assert trainer.global_step == 3
+    from empose_tpu.utils.experiments import get_model_dir
+    model_dir = get_model_dir(trained_dir, "111000")
     assert os.path.exists(os.path.join(model_dir, "config.json"))
     assert os.path.exists(os.path.join(model_dir, "cmd.txt"))
-    # Force a checkpoint for the eval test.
-    trainer.save(os.path.join(model_dir, "checkpoint"))
+    assert os.path.exists(os.path.join(model_dir, "code.zip"))
     assert os.path.isdir(os.path.join(model_dir, "checkpoint"))
+    assert os.path.isdir(os.path.join(model_dir, "checkpoint_model"))
 
 
 def test_resume_roundtrip(assets_env, trained_dir, monkeypatch):
