@@ -108,6 +108,16 @@ def _angle_dists(pose: jnp.ndarray, pose_hat: jnp.ndarray, parents) -> jnp.ndarr
     return jnp.rad2deg(rad)
 
 
+@jax.jit
+def _rotmat_angles(pose: jnp.ndarray, pose_hat: jnp.ndarray) -> jnp.ndarray:
+    """Per-joint geodesic angles (degrees) from flattened rotmats (B, J*9)."""
+    from empose_tpu.ops.so3 import so3_relative_angle
+    b = pose.shape[0]
+    r = pose.reshape(b, -1, 3, 3)
+    r_hat = pose_hat.reshape(b, -1, 3, 3)
+    return jnp.rad2deg(so3_relative_angle(r, r_hat))
+
+
 class MetricsEngine:
     """Accumulate per-frame errors across batches, aggregate at the end.
 
@@ -209,8 +219,13 @@ class MetricsEngine:
         self.eucl_dists.append(np.asarray(eucl)[:count])
         self.eucl_dists_pa.append(np.asarray(eucl_pa)[:count])
 
-    def compute_angle_dist(self, pose, pose_hat, seq_lengths=None, frame_mask=None):
-        """Angular metric only (reference metrics.py:267-287)."""
+    def compute_angle_dist(self, pose, pose_hat, seq_lengths=None, frame_mask=None, rep="aa"):
+        """Angular metric only (reference metrics.py:267-287).
+
+        :param rep: 'aa' (angle-axis, via the local->global unroll like
+          ``compute``) or 'rotmat' (direct per-joint geodesic angles).
+        """
+        assert rep in ("aa", "rotmat")
         pose = np.asarray(pose)
         n, f = pose.shape[0], pose.shape[1]
         mask = self._valid_mask(n, f, seq_lengths, frame_mask)
@@ -221,7 +236,10 @@ class MetricsEngine:
         count = p.shape[0]
         bucket = _round_up_rows(count)
         pad = [(0, bucket - count), (0, 0)]
-        angles = self._angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
+        if rep == "rotmat":
+            angles = _rotmat_angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
+        else:
+            angles = self._angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
         self.angle_diffs.append(np.asarray(angles)[:count])
 
     def get_metrics(self, eucl_idxs_select: bool = True, angle_idxs_select: bool = True) -> Dict[str, float]:

@@ -107,3 +107,18 @@ def test_compute_joint_dist(smplh_model):
     # Constant offset: raw MPJPE = sqrt(3)*offset*1000 mm; PA removes it.
     np.testing.assert_allclose(m["MPJPE [mm]"], np.sqrt(3) * offset * 1000, rtol=1e-3)
     assert m["PA-MPJPE [mm]"] < m["MPJPE [mm]"]
+
+
+def test_compute_angle_dist_rotmat(smplh_model):
+    engine = ME.MetricsEngine(smplh_model)
+    rng = np.random.RandomState(6)
+    n, f, j = 1, 3, 4
+    aa = (rng.randn(n * f * j, 3) * 0.3).astype(np.float32)
+    R = Rotation.from_rotvec(aa)
+    delta = 0.2
+    R_hat = R * Rotation.from_rotvec(np.asarray([[delta, 0, 0]] * (n * f * j)))
+    pose = R.as_matrix().reshape(n, f, j * 9).astype(np.float32)
+    pose_hat = R_hat.as_matrix().reshape(n, f, j * 9).astype(np.float32)
+    engine.compute_angle_dist(pose, pose_hat, np.asarray([f]), rep="rotmat")
+    m = engine.get_metrics(angle_idxs_select=False)
+    np.testing.assert_allclose(m["MPJAE [deg]"], np.rad2deg(delta), rtol=1e-3)

@@ -143,3 +143,14 @@ def test_resample_rotations_identity_fps():
     R_in = Rotation.from_rotvec(poses.reshape(-1, 3)).as_matrix()
     R_out = Rotation.from_rotvec(out.reshape(-1, 3)).as_matrix()
     np.testing.assert_allclose(R_out, R_in, atol=1e-6)
+
+
+def test_resample_rotations_half_fps_reproduces_knots():
+    """120 -> 60 fps: every output knot coincides with an even input frame."""
+    rng = np.random.RandomState(12)
+    poses = Q.np_quat_to_aa(Q.fix_quaternions(Q.np_quat_from_aa(rng.randn(12, 2, 3) * 0.3)))
+    out = Q.resample_rotations(poses, 120.0, 60.0)
+    assert out.shape[0] == 6
+    R_in = Rotation.from_rotvec(poses[::2].reshape(-1, 3)).as_matrix()
+    R_out = Rotation.from_rotvec(out.reshape(-1, 3)).as_matrix()
+    np.testing.assert_allclose(R_out, R_in, atol=1e-6)
