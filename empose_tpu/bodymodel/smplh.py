@@ -175,6 +175,9 @@ class SMPLHModel:
     # -- derived topology ----------------------------------------------------
     def vertex_faces(self) -> np.ndarray:
         """Host-side vertex->face incidence (reference smpl.py:58-67)."""
+        assert self.vertex_ids is None, (
+            "vertex_faces() needs the FULL mesh: this is a subset model whose "
+            "rows no longer align with the face array's vertex ids.")
         return mesh_ops.vertex_face_indices(self.n_vertices, self.faces)
 
     def subset(self, vertex_ids: Sequence[int]) -> "SMPLHModel":

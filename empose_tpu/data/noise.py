@@ -65,13 +65,17 @@ def spherical_marker_noise_fn(sphere_size: float, window_size: float, num_marker
         n, f = markers.shape[0], markers.shape[1]
         m = markers.shape[-1] // 3
         ms = markers.reshape(n, f, m, 3)
+        lengths = batch.get("seq_lengths")
+        valid = jnp.full((n,), f) if lengths is None else jnp.asarray(lengths)
+        window_len_i = jnp.floor(ws * valid).astype(jnp.int32)  # (N,)
         window_len = int(ws * f)
         if window_len == 0:
             return batch
 
         k_ids, k_sf, k_r, k_theta, k_phi = jax.random.split(key, 5)
         m_ids = jax.random.permutation(k_ids, m)[:num_markers]
-        sf = jax.random.randint(k_sf, (n,), 0, f - window_len + 1)
+        u = jax.random.uniform(k_sf, (n,))
+        sf = jnp.floor(u * (valid - window_len_i + 1).astype(jnp.float32)).astype(jnp.int32)
 
         rul = C.T_TO_IDX_WO_ROOT[C.T_RUL]
         rll = C.T_TO_IDX_WO_ROOT[C.T_RLL]
@@ -87,7 +91,7 @@ def spherical_marker_noise_fn(sphere_size: float, window_size: float, num_marker
         disp = jnp.stack([xs, ys, zs], axis=-1)  # (N, F, K, 3)
 
         t = jnp.arange(f)[None, :]
-        in_window = (t >= sf[:, None]) & (t < (sf + window_len)[:, None])  # (N, F)
+        in_window = (t >= sf[:, None]) & (t < (sf + window_len_i)[:, None])  # (N, F)
         target = jnp.zeros((m,), bool).at[m_ids].set(True)  # (M,)
         gate = in_window[:, :, None] & target[None, None, :]  # (N, F, M)
 
@@ -120,12 +124,18 @@ def marker_suppression_noise_fn(window_size: float, num_markers: int, mask_value
         ms = markers.reshape(n, f, m, 3)
         ms_ori = batch["marker_ori"].reshape(n, f, m, 3, 3)
         ms_nor = batch["marker_nor"].reshape(n, f, m, 3)
-        window_len = int(ws * f)
+
+        # Window length/start per-sample over the VALID frames (padded chunks
+        # would otherwise draw dropout windows inside the padding).
+        lengths = batch.get("seq_lengths")
+        valid = jnp.full((n,), f) if lengths is None else jnp.asarray(lengths)
+        window_len = jnp.floor(ws * valid).astype(jnp.int32)  # (N,)
 
         k_ids, k_sf = jax.random.split(key)
         choice = jax.random.randint(k_ids, (n, num_markers), 0, len(candidate_ids))
         m_ids = jnp.asarray(candidate_ids)[choice]  # (N, K)
-        sf = jax.random.randint(k_sf, (n,), 0, f - window_len + 1)
+        u = jax.random.uniform(k_sf, (n,))
+        sf = jnp.floor(u * (valid - window_len + 1).astype(jnp.float32)).astype(jnp.int32)
 
         t = jnp.arange(f)[None, :]
         in_window = (t >= sf[:, None]) & (t < (sf + window_len)[:, None])  # (N, F)

@@ -109,6 +109,15 @@ def _angle_dists(pose: jnp.ndarray, pose_hat: jnp.ndarray, parents) -> jnp.ndarr
 
 
 @jax.jit
+def _raw_aa_angles(pose: jnp.ndarray, pose_hat: jnp.ndarray) -> jnp.ndarray:
+    """Per-joint geodesic angles (degrees) from RAW angle-axis (B, J*3) —
+    no kinematic unroll (reference _compute_angular_dist, metrics.py:140-162)."""
+    b = pose.shape[0]
+    return jnp.rad2deg(rotation_intrinsic_distance_from_aa(
+        pose.reshape(b, -1, 3), pose_hat.reshape(b, -1, 3)))
+
+
+@jax.jit
 def _rotmat_angles(pose: jnp.ndarray, pose_hat: jnp.ndarray) -> jnp.ndarray:
     """Per-joint geodesic angles (degrees) from flattened rotmats (B, J*9)."""
     from empose_tpu.ops.so3 import so3_relative_angle
@@ -239,7 +248,7 @@ class MetricsEngine:
         if rep == "rotmat":
             angles = _rotmat_angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
         else:
-            angles = self._angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
+            angles = _raw_aa_angles(jnp.asarray(np.pad(p, pad)), jnp.asarray(np.pad(p_hat, pad)))
         self.angle_diffs.append(np.asarray(angles)[:count])
 
     def get_metrics(self, eucl_idxs_select: bool = True, angle_idxs_select: bool = True) -> Dict[str, float]:

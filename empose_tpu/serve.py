@@ -106,10 +106,12 @@ class StreamingPredictor:
         n = len(self._buf_pos)
         if n == 0:
             return None
-        pos = np.zeros((self.chunk, self.m * 3), np.float32)
-        ori = np.zeros((self.chunk, self.m * 9), np.float32)
-        pos[:n] = np.stack(self._buf_pos)
-        ori[:n] = np.stack(self._buf_ori)
+        # Pad by repeating the last valid frame: per-sequence shape averaging
+        # (m_average_shape, reference models.py:529-535) runs over ALL frames
+        # of the window, so zero padding would pollute the estimate — and a
+        # polluted first chunk would freeze a wrong session shape.
+        pos = np.stack(self._buf_pos + [self._buf_pos[-1]] * (self.chunk - n))
+        ori = np.stack(self._buf_ori + [self._buf_ori[-1]] * (self.chunk - n))
         self._buf_pos.clear()
         self._buf_ori.clear()
         return self._infer_chunk(pos, ori, n)

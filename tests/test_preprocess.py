@@ -104,6 +104,25 @@ def test_bulk_synthesize(assets_env, tmp_path):
     assert rec0_pos.shape[-1] == 36
     assert np.isfinite(rec0_pos).all()
     assert r.read(0, "offset_r").shape == (12, 3, 3)
+    # Full training-batch field set present.
+    assert set(r.fields(0)) >= {"marker_pos", "marker_ori", "marker_nor", "joints",
+                                "poses", "trans", "betas", "offset_t", "offset_r"}
+    assert r.read(0, "betas").shape == (10,)
+
+
+def test_bulk_synthesize_seed_controls_windows(assets_env, tmp_path):
+    from empose_tpu import constants as C
+    from tools.bulk_synthesize import synthesize_corpus
+    from empose_tpu.data.emr import EMRReader
+    corpus = os.path.join(C.data_dir_synth(), "amass_emr")
+    out1 = str(tmp_path / "m1.emr")
+    out2 = str(tmp_path / "m2.emr")
+    synthesize_corpus(corpus, out1, window=16, batch=2, seed=1)
+    synthesize_corpus(corpus, out2, window=16, batch=2, seed=2)
+    r1, r2 = EMRReader(out1), EMRReader(out2)
+    diffs = [not np.allclose(r1.read(i, "poses"), r2.read(i, "poses"))
+             for i in range(len(r1))]
+    assert any(diffs)  # different seeds -> different window crops somewhere
 
 
 def test_bulk_synthesize_dp_mesh(assets_env, tmp_path):

@@ -1,10 +1,12 @@
 """Bulk on-device sensor-data synthesis: mocap corpus -> training-ready EMR.
 
 Pre-materializes the synthetic EM measurements (normalize-root -> subset FK ->
-virtual sensors -> offsets) for an entire corpus at device speed, writing an
-EMR file with marker_pos/marker_ori/joints per window. Useful when the same
-corpus is consumed many times (hyperparameter sweeps) and the on-the-fly
-datagen inside the train step would be redundant work; scales over a
+virtual sensors -> offsets) at device speed. Each pass draws ONE random
+window per corpus sequence (use --passes N for more coverage); records carry
+the full training-batch field set (marker_pos/marker_ori/marker_nor, poses
+normalized, shapes, zeroed trans, joints, offset_t/offset_r), so a consumer
+can assemble model-ready batches without further synthesis. Useful when the
+same corpus is consumed many times (hyperparameter sweeps); scales over a
 data-parallel mesh with --dp_devices (the workload is embarrassingly
 batch-parallel, SURVEY.md §2.3).
 
@@ -26,7 +28,8 @@ import numpy as np
 
 
 def synthesize_corpus(corpus_path: str, out_path: str, window: int = 64, batch: int = 32,
-                      noise_level: int = 0, seed: int = 0, dp_devices: int = 1) -> int:
+                      noise_level: int = 0, seed: int = 0, dp_devices: int = 1,
+                      passes: int = 1) -> int:
     from empose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -46,8 +49,8 @@ def synthesize_corpus(corpus_path: str, out_path: str, window: int = 64, batch: 
         b = T.normalize_root(batch_d)
         b = T.smpl_fk_markers(sensor, b)
         b = T.sample_markers_with_offsets(b, bank, key, noise_level, randomize=noise_level >= 0)
-        return {k: b[k] for k in ("marker_pos", "marker_ori", "joints_gt", "poses",
-                                  "offset_t", "offset_r")}
+        return {k: b[k] for k in ("marker_pos", "marker_ori", "marker_nor", "joints_gt",
+                                  "poses", "trans", "offset_t", "offset_r")}
 
     mesh = M.make_mesh(dp_devices) if dp_devices > 1 else None
     if mesh is not None:
@@ -56,14 +59,19 @@ def synthesize_corpus(corpus_path: str, out_path: str, window: int = 64, batch: 
     else:
         synth_jit = jax.jit(synth)
 
-    loader = EMRBatchLoader(corpus_path, batch, window, shuffle=False, pad_multiple=window)
+    # The loader's RNG drives the random window crops: seed it so different
+    # --seed values materialize different windows.
+    loader = EMRBatchLoader(corpus_path, batch, window, shuffle=False, seed=seed,
+                            pad_multiple=window)
     key = jax.random.PRNGKey(seed)
     count, t0 = 0, time.time()
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with EMRWriter(out_path) as w:
+      for _pass in range(passes):
         for host_batch in loader:
             ids = host_batch["ids"]
             lengths = np.asarray(host_batch["seq_lengths"])
+            shapes = np.asarray(host_batch["shapes"])
             if mesh is not None:
                 host_batch = M.pad_batch_to_devices(host_batch, dp_devices)
                 device_batch = M.shard_batch(host_batch, mesh)
@@ -78,8 +86,11 @@ def synthesize_corpus(corpus_path: str, out_path: str, window: int = 64, batch: 
                     {"id": f"{seq_id}@w{count + i}", "n_frames": L},
                     {"marker_pos": out["marker_pos"][i, :L],
                      "marker_ori": out["marker_ori"][i, :L],
+                     "marker_nor": out["marker_nor"][i, :L],
                      "joints": out["joints_gt"][i, :L],
                      "poses": out["poses"][i, :L],
+                     "trans": out["trans"][i, :L],
+                     "betas": shapes[i],
                      "offset_t": out["offset_t"][i],
                      "offset_r": out["offset_r"][i]})
             count += len(ids)
@@ -98,6 +109,8 @@ if __name__ == "__main__":
     p.add_argument("--offset_noise_level", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp_devices", type=int, default=1)
+    p.add_argument("--passes", type=int, default=1,
+                   help="Random window draws per sequence.")
     args = p.parse_args()
     synthesize_corpus(args.corpus, args.out, args.window, args.batch,
-                      args.offset_noise_level, args.seed, args.dp_devices)
+                      args.offset_noise_level, args.seed, args.dp_devices, args.passes)
