@@ -137,16 +137,27 @@ class SMPLHModel:
         if isinstance(self.faces, np.ndarray):
             object.__setattr__(self, "faces", _StaticArray(self.faces))
         # Precompute the factored joint regression when not supplied
-        # (load_smplh provides float64-accurate versions; this f32 fallback
-        # covers directly-constructed models).
+        # (load_smplh provides float64-accurate versions; this fallback covers
+        # directly-constructed models). When the inputs are already device
+        # arrays the math runs ON DEVICE: a device->host readback here would
+        # permanently degrade every subsequent dispatch in the process (the
+        # axon runtime drops to a synchronous ~1ms/call mode after the first
+        # d2h transfer — measured, see tools/profile_forward.py).
         if self.j_template is None:
-            jr = np.asarray(self.j_regressor, np.float64)
-            vt = np.asarray(self.v_template, np.float64)
-            sd = np.asarray(self.shapedirs, np.float64)
-            dtype = self.v_template.dtype
-            object.__setattr__(self, "j_template", jnp.asarray(jr @ vt, dtype=dtype))
-            object.__setattr__(self, "j_shapedirs",
-                               jnp.asarray(np.einsum("jv,vdb->jdb", jr, sd), dtype=dtype))
+            if isinstance(self.j_regressor, jnp.ndarray) and not isinstance(self.j_regressor, np.ndarray):
+                jt = jnp.matmul(self.j_regressor, self.v_template, precision=_HI)
+                jsd = jnp.einsum("jv,vdb->jdb", self.j_regressor, self.shapedirs,
+                                 precision=_HI)
+                object.__setattr__(self, "j_template", jt)
+                object.__setattr__(self, "j_shapedirs", jsd)
+            else:
+                jr = np.asarray(self.j_regressor, np.float64)
+                vt = np.asarray(self.v_template, np.float64)
+                sd = np.asarray(self.shapedirs, np.float64)
+                dtype = self.v_template.dtype
+                object.__setattr__(self, "j_template", jnp.asarray(jr @ vt, dtype=dtype))
+                object.__setattr__(self, "j_shapedirs",
+                                   jnp.asarray(np.einsum("jv,vdb->jdb", jr, sd), dtype=dtype))
 
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
@@ -241,6 +252,50 @@ def load_smplh(npz_path: Optional[str] = None, num_betas: int = C.N_SHAPE_PARAMS
         j_shapedirs=jnp.asarray(j_shapedirs, dtype=dtype),
         parents=tuple(int(p) for p in parents),
         faces=faces,
+    )
+
+
+def fold_zero_pose_joints(model: SMPLHModel, keep: int) -> SMPLHModel:
+    """Truncate the kinematic tree to the first ``keep`` joints, folding the
+    LBS weights of every dropped joint into its nearest kept ancestor.
+
+    EXACT for dropped joints whose local rotations are always identity (zero
+    pose): such a joint's skinning transform A_j = [R_j | t_j - R_j j_j]
+    equals its posed ancestor's — with R_j = R_a and
+    t_j = t_a + R_a (j_j - j_a), t_j - R_j j_j = t_a - R_a j_a. The EM-POSE
+    pipeline always runs SMPL-H with zero hand poses (reference
+    smpl.py:81-122 defaults hands to None -> zeros), so folding the 30 hand
+    joints into the wrists is lossless there and cuts the differentiated FK
+    chain from 52 to 22 joints.
+
+    All math runs on device (no host readback — see ``__post_init__``).
+    Requires the kept prefix to be ancestor-closed (true for SMPL-H).
+    """
+    J = model.n_joints
+    if J <= keep:
+        return model
+    parents = model.parents
+    assert all(parents[j] < keep for j in range(1, keep)), "kept prefix must be ancestor-closed"
+    assert all(parents[j] < j for j in range(1, J)), "parents must be topological"
+    # Nearest kept ancestor per joint (host-side ints only).
+    anc = list(range(J))
+    for j in range(J):
+        a = j
+        while a >= keep:
+            a = parents[a]
+        anc[j] = a
+    fold = np.zeros((J, keep), np.float32)
+    for j in range(J):
+        fold[j, anc[j]] = 1.0
+    weights = jnp.matmul(model.weights, jnp.asarray(fold), precision=_HI)
+    return replace(
+        model,
+        posedirs=model.posedirs[: (keep - 1) * 9],
+        j_regressor=model.j_regressor[:keep],
+        weights=weights,
+        j_template=model.j_template[:keep],
+        j_shapedirs=model.j_shapedirs[:keep],
+        parents=tuple(parents[:keep]),
     )
 
 

@@ -186,6 +186,142 @@ def mlp_apply(params, state, x, *, skip_connection: bool = False, dropout_p: flo
 
 
 # ---------------------------------------------------------------------------
+# Pair-fused applies: two same-shaped nets reading the SAME input run as one
+# stacked batched GEMM chain (TPU-only optimization; the LGD model applies a
+# pose net and a shape net to identical features at every step, reference
+# models.py:433-447/548-600 — two separate small matmul chains there). The
+# fused path is numerically identical to two independent applies: each batched
+# GEMM slice sees the same operands, BN stats are per-net, and dropout draws
+# the same per-net key streams as ``mlp_apply``. Checkpoints are untouched —
+# weights stay per-net in the pytree and are stacked at apply time.
+# ---------------------------------------------------------------------------
+
+def linear_pair_apply(params_a: Params, params_b: Params, x: jnp.ndarray):
+    """Two linears over the same input as ONE matmul (concat on out-dim)."""
+    w = jnp.concatenate([params_a["w"], params_b["w"]], axis=1)
+    b = jnp.concatenate([params_a["b"], params_b["b"]], axis=0)
+    y = jnp.matmul(x, w, precision=_HI) + b
+    na = params_a["w"].shape[1]
+    return y[..., :na], y[..., na:]
+
+
+def _stacked_linear(params_a: Params, params_b: Params, y: jnp.ndarray) -> jnp.ndarray:
+    """Batched GEMM over a (2, B, I) stacked activation."""
+    w = jnp.stack([params_a["w"], params_b["w"]])  # (2, I, O)
+    b = jnp.stack([params_a["b"], params_b["b"]])  # (2, O)
+    return jnp.einsum("kbi,kio->kbo", y, w, precision=_HI) + b[:, None]
+
+
+def _stacked_bn(params_a, params_b, state_a, state_b, y, train):
+    scale = jnp.stack([params_a["scale"], params_b["scale"]])[:, None]
+    bias = jnp.stack([params_a["bias"], params_b["bias"]])[:, None]
+    if train:
+        mean = jnp.mean(y, axis=1, keepdims=True)  # (2, 1, H) per-net stats
+        var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+        count = y.shape[1]
+        unbiased = var * (count / max(count - 1, 1))
+        def upd(state, m, v):
+            return {"mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * m,
+                    "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * v}
+        new_a = upd(state_a, mean[0, 0], unbiased[0, 0])
+        new_b = upd(state_b, mean[1, 0], unbiased[1, 0])
+    else:
+        mean = jnp.stack([state_a["mean"], state_b["mean"]])[:, None]
+        var = jnp.stack([state_a["var"], state_b["var"]])[:, None]
+        new_a, new_b = state_a, state_b
+    return (y - mean) * lax.rsqrt(var + BN_EPS) * scale + bias, new_a, new_b
+
+
+def _stacked_prelu(params_a, params_b, y):
+    alpha = jnp.stack([params_a["alpha"], params_b["alpha"]])[:, None]  # (2,1,1)
+    return jnp.where(y >= 0, y, alpha * y)
+
+
+def _stacked_dropout(y, p, train, key_a, key_b):
+    """Per-net masks drawn from the SAME key streams as the unfused path.
+
+    A ``None`` key disables dropout entirely (matching ``mlp_apply``'s skip);
+    the two keys always co-occur at the call sites.
+    """
+    if not train or p <= 0.0 or key_a is None or key_b is None:
+        return y, key_a, key_b
+    keep = 1.0 - p
+    key_a, sub_a = jax.random.split(key_a)
+    key_b, sub_b = jax.random.split(key_b)
+    shape = y.shape[1:]
+    masks = jnp.stack([jax.random.bernoulli(sub_a, keep, shape),
+                       jax.random.bernoulli(sub_b, keep, shape)])
+    return jnp.where(masks, y / keep, 0.0), key_a, key_b
+
+
+def mlp_pair_apply(params_a, params_b, state_a, state_b, x, *,
+                   skip_connection: bool = False, dropout_p: float = 0.0,
+                   train: bool = False, key_a=None, key_b=None):
+    """Two ``mlp_apply``s over the same input ``x`` as stacked batched GEMMs.
+
+    Requires identical input/hidden sizes and layer counts (the LGD pose/shape
+    nets satisfy this by construction, reference models.py:433-447); output
+    sizes may differ — the final projections run as one concat-fused matmul.
+    Returns ``(y_a, y_b, new_state_a, new_state_b)``.
+    """
+    y = _stacked_linear(params_a["input_to_hidden"], params_b["input_to_hidden"],
+                        jnp.broadcast_to(x[None], (2,) + x.shape))
+    new_a, new_b = {}, {}
+    if "bn" in params_a:
+        y, new_a["bn"], new_b["bn"] = _stacked_bn(
+            params_a["bn"], params_b["bn"], state_a["bn"], state_b["bn"], y, train)
+    y = _stacked_prelu(params_a["prelu"], params_b["prelu"], y)
+    if dropout_p > 0.0 and train:
+        y, key_a, key_b = _stacked_dropout(y, dropout_p, train, key_a, key_b)
+
+    hidden_a, hidden_b = [], []
+    for hp_a, hp_b, hs_a, hs_b in zip(params_a["hidden_layers"], params_b["hidden_layers"],
+                                      state_a["hidden_layers"], state_b["hidden_layers"]):
+        sub_a = sub_b = None
+        if key_a is not None:
+            key_a, sub_a = jax.random.split(key_a)
+        if key_b is not None:
+            key_b, sub_b = jax.random.split(key_b)
+        y_in = y
+        blocks_a, blocks_b = [], []
+        for bp_a, bp_b, bs_a, bs_b in zip(hp_a["blocks"], hp_b["blocks"],
+                                          hs_a["blocks"], hs_b["blocks"]):
+            y = _stacked_linear(bp_a["linear"], bp_b["linear"], y)
+            nbs_a, nbs_b = {}, {}
+            if "bn" in bp_a:
+                y, nbs_a["bn"], nbs_b["bn"] = _stacked_bn(
+                    bp_a["bn"], bp_b["bn"], bs_a["bn"], bs_b["bn"], y, train)
+            y = _stacked_prelu(bp_a["prelu"], bp_b["prelu"], y)
+            if dropout_p > 0.0 and train:
+                y, sub_a, sub_b = _stacked_dropout(y, dropout_p, train, sub_a, sub_b)
+            blocks_a.append(nbs_a)
+            blocks_b.append(nbs_b)
+        if skip_connection:
+            y = y_in + y
+        hidden_a.append({"blocks": blocks_a})
+        hidden_b.append({"blocks": blocks_b})
+    new_a["hidden_layers"] = hidden_a
+    new_b["hidden_layers"] = hidden_b
+
+    # Final projections: same hidden input per net but DIFFERENT out sizes —
+    # run as one concat-fused matmul over the flattened pair batch.
+    w = jnp.stack([
+        jnp.pad(params_a["hidden_to_output"]["w"],
+                ((0, 0), (0, max(0, params_b["hidden_to_output"]["w"].shape[1]
+                                 - params_a["hidden_to_output"]["w"].shape[1])))),
+        jnp.pad(params_b["hidden_to_output"]["w"],
+                ((0, 0), (0, max(0, params_a["hidden_to_output"]["w"].shape[1]
+                                 - params_b["hidden_to_output"]["w"].shape[1])))),
+    ])
+    out = jnp.einsum("kbi,kio->kbo", y, w, precision=_HI)
+    na = params_a["hidden_to_output"]["w"].shape[1]
+    nb = params_b["hidden_to_output"]["w"].shape[1]
+    y_a = out[0, :, :na] + params_a["hidden_to_output"]["b"]
+    y_b = out[1, :, :nb] + params_b["hidden_to_output"]["b"]
+    return y_a, y_b, new_a, new_b
+
+
+# ---------------------------------------------------------------------------
 # FeedForwardResidualBlock: Linear + add + ReLU (reference layers.py:170-182).
 # ---------------------------------------------------------------------------
 

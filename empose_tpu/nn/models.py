@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from empose_tpu import constants as C
-from empose_tpu.bodymodel.smplh import SMPLHModel, smplh_fk
+from empose_tpu.bodymodel.smplh import SMPLHModel, fold_zero_pose_joints, smplh_fk
 from empose_tpu.data import virtual_sensors as vsens
 from empose_tpu.nn import layers as L
 from empose_tpu.nn import losses as LS
@@ -63,13 +63,21 @@ class SensorSMPL:
     def __init__(self, smplh: SMPLHModel, vertex_ids=C.VERTEX_IDS):
         req, tables = vsens.subset_tables(smplh.faces, vertex_ids)
         self.full = smplh
-        self.sub = smplh.subset(req)
+        # Hand-joint folding is EXACT here: every caller of the sensor bundle
+        # runs with zero hand poses (reference smpl.py:81-122 defaults), and a
+        # joint whose local rotation is identity has the same skinning
+        # transform as its nearest posed ancestor — so hand LBS weights fold
+        # into the wrist columns with no approximation. 52 -> 22 joints on the
+        # hottest path (the LGD loop differentiates through this FK).
+        self.sub = fold_zero_pose_joints(smplh.subset(req), C.N_JOINTS + 1)
         self.tables = tables
         self.vertex_ids = tuple(vertex_ids)
 
     def joints(self, poses: jnp.ndarray, shapes: jnp.ndarray) -> jnp.ndarray:
         """FK joints only (root+body, no hands): (B, 66)."""
-        _, joints = smplh_fk(self.full, poses[:, 3:], shapes, poses_root=poses[:, :3],
+        # The folded subset model has identical j_template/j_shapedirs rows
+        # for the 22 body joints; vertex tables never enter the joints path.
+        _, joints = smplh_fk(self.sub, poses[:, 3:], shapes, poses_root=poses[:, :3],
                              want_vertices=False)
         return joints[:, : C.N_JOINTS + 1].reshape(poses.shape[0], -1)
 
@@ -474,17 +482,20 @@ class IterativeErrorFeedback(BaseModel):
                 params["rnn"], x, seq_lengths, carry,
                 num_layers=self.config.m_rnn_num_layers, hidden_size=self.config.m_rnn_hidden_size,
                 dropout_p=self.config.m_dropout, train=train, key=subkey(0))
-            pose_hat = L.linear_apply(params["pose_net_init"], lstm_out).reshape(n * f, -1)
-            shape_hat = L.linear_apply(params["shape_net_init"], lstm_out).reshape(n * f, -1)
+            # Pair-fused: both heads read lstm_out -> one matmul (layers.py).
+            pose_hat, shape_hat = L.linear_pair_apply(
+                params["pose_net_init"], params["shape_net_init"], lstm_out)
+            pose_hat = pose_hat.reshape(n * f, -1)
+            shape_hat = shape_hat.reshape(n * f, -1)
         else:
-            pose_hat, new_state["pose_net_init"] = L.mlp_apply(
-                params["pose_net_init"], state["pose_net_init"], inputs_flat,
-                skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=subkey(1))
-            shape_hat, new_state["shape_net_init"] = L.mlp_apply(
-                params["shape_net_init"], state["shape_net_init"], inputs_flat,
-                skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=subkey(2))
+            # Pair-fused: both init MLPs read inputs_flat and share all hidden
+            # sizes -> one stacked batched-GEMM chain (same numerics).
+            pose_hat, shape_hat, new_state["pose_net_init"], new_state["shape_net_init"] = \
+                L.mlp_pair_apply(
+                    params["pose_net_init"], params["shape_net_init"],
+                    state["pose_net_init"], state["shape_net_init"], inputs_flat,
+                    skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
+                    train=train, key_a=subkey(1), key_b=subkey(2))
 
         def to_single_shape(s):
             return _average_over_frames(s.reshape(n, f, -1)).reshape(n * f, -1)
@@ -501,8 +512,13 @@ class IterativeErrorFeedback(BaseModel):
             # at training time are memory-bound, not FLOP-bound).
             markers_of = jax.checkpoint(markers_of)
 
-        marker_pos_hat, marker_ori_hat, joints_hat = markers_of(pose_hat, shape_hat)
-        joints_hat = joints_hat.reshape(n * f, -1)
+        # ONE FK per iterate: jax.vjp yields the sensor primals (consumed by
+        # the history/loss) AND the pullback for the learned-gradient input —
+        # the reference recomputes the same FK inside its backward() call
+        # (models.py:553-582); here the forward work is shared by construction.
+        (marker_pos_hat, marker_ori_hat, joints_raw), markers_vjp = jax.vjp(
+            markers_of, pose_hat, shape_hat)
+        joints_hat = joints_raw.reshape(n * f, -1)
 
         hist = {
             "pose": [pose_hat], "shape": [shape_hat], "joints": [joints_hat],
@@ -516,41 +532,46 @@ class IterativeErrorFeedback(BaseModel):
         shape_iter_state = state.get("shape_net_iter")
         recon_for_grad = []
 
+        def recon_of_markers(mp, mo):
+            return self._recon_error(inputs_flat, mp, mo, n, f, seq_lengths, marker_masks)
+
         for i in range(self.N):
             inputs_step = [inputs_flat,
                            lax.stop_gradient(hist["pose"][-1]),
                            lax.stop_gradient(hist["shape"][-1])]
             if self.use_gradient:
-                def recon_of(pose, shape):
-                    mp, mo, _ = markers_of(pose, shape)
-                    return self._recon_error(inputs_flat, mp, mo, n, f, seq_lengths, marker_masks)
-
-                recon_val, (g_pose, g_shape) = jax.value_and_grad(recon_of, argnums=(0, 1))(
-                    hist["pose"][-1], hist["shape"][-1])
+                # d(recon)/d(markers) is cheap elementwise work; the expensive
+                # FK pullback reuses the residuals of the vjp above.
+                recon_val, (g_mp, g_mo) = jax.value_and_grad(
+                    recon_of_markers, argnums=(0, 1))(marker_pos_hat, marker_ori_hat)
+                g_pose, g_shape = markers_vjp(
+                    (g_mp, g_mo, jnp.zeros_like(joints_raw)))
                 recon_for_grad.append(recon_val)
                 scale = float(n * f)
                 inputs_step.append(lax.stop_gradient(g_pose) * scale)
                 inputs_step.append(lax.stop_gradient(g_shape) * scale)
 
             iter_in = jnp.concatenate(inputs_step, axis=-1)
-            pose_delta, pose_iter_state = L.mlp_apply(
-                params["pose_net_iter"], pose_iter_state, iter_in,
-                skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=subkey(10 + 2 * i))
-            shape_delta, shape_iter_state = L.mlp_apply(
-                params["shape_net_iter"], shape_iter_state, iter_in,
-                skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                train=train, key=subkey(11 + 2 * i))
+            # Pair-fused: the pose and shape iter nets consume the SAME
+            # iter_in (reference models.py:548-600 runs them as two separate
+            # small matmul chains); one stacked batched-GEMM chain here.
+            pose_delta, shape_delta, pose_iter_state, shape_iter_state = \
+                L.mlp_pair_apply(
+                    params["pose_net_iter"], params["shape_net_iter"],
+                    pose_iter_state, shape_iter_state, iter_in,
+                    skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
+                    train=train, key_a=subkey(10 + 2 * i), key_b=subkey(11 + 2 * i))
             if self.shape_avg:
                 shape_delta = to_single_shape(shape_delta)
 
             pose_hat = hist["pose"][-1] + pose_delta * self.step_size
             shape_hat = hist["shape"][-1] + shape_delta * self.step_size
-            marker_pos_hat, marker_ori_hat, joints_hat = markers_of(pose_hat, shape_hat)
+            (marker_pos_hat, marker_ori_hat, joints_raw), markers_vjp = jax.vjp(
+                markers_of, pose_hat, shape_hat)
 
             hist["pose"].append(pose_hat)
             hist["shape"].append(shape_hat)
-            hist["joints"].append(joints_hat.reshape(n * f, -1))
+            hist["joints"].append(joints_raw.reshape(n * f, -1))
             hist["marker_pos"].append(marker_pos_hat.reshape(n * f, -1))
             hist["marker_ori"].append(marker_ori_hat.reshape(n * f, -1))
 
