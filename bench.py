@@ -95,8 +95,9 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2):
     return frames / elapsed
 
 
-def run_torch_cpu(batch=1, window=16, iters=2):
-    """Reference-architecture torch model on CPU (float64 full-mesh SMPL)."""
+def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
+    """Reference-architecture torch model on CPU (float64 full-mesh SMPL),
+    measured at the SAME batch/window regime as the TPU run."""
     import torch
     torch.set_num_threads(os.cpu_count() or 1)
     from empose_tpu import constants as C
@@ -142,23 +143,30 @@ def main():
     if args.measure_baseline:
         fps = run_torch_cpu()
         with open(BASELINE_FILE, "w") as f:
-            json.dump({"torch_cpu_fps": fps, "n_threads": os.cpu_count(),
-                       "note": "released LGD-RNN-6 retrain architecture (float64 full-mesh SMPL, "
-                               "N=2 grad iterations) on host CPU"}, f, indent=2)
+            json.dump({"torch_cpu_fps": fps, "batch": BATCH, "window": WINDOW,
+                       "n_iterations": 2, "n_threads": os.cpu_count(),
+                       "note": "released LGD-RNN-6 retrain architecture (float64 "
+                               "full-mesh SMPL, N=2 grad iterations) on host CPU, "
+                               "same batch/window regime as the TPU run"}, f, indent=2)
         print(json.dumps({"torch_cpu_fps": fps}))
         return
 
-    baseline_fps = None
+    baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            baseline_fps = json.load(f)["torch_cpu_fps"]
+            baseline = json.load(f)
 
     fps = run_tpu(args.batch, args.window, args.iters)
+    fps_throughput = run_tpu(64, args.window, args.iters)
     result = {
         "metric": "lgd_rnn6_inference_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+        "vs_baseline": round(fps / baseline["torch_cpu_fps"], 2) if baseline else None,
+        "batch": args.batch,
+        "window": args.window,
+        "throughput_batch64_fps": round(fps_throughput, 2),
+        "baseline": baseline,
     }
     print(json.dumps(result))
 
