@@ -62,15 +62,32 @@ def batch_norm_init(key, size: int, uniform_weight: bool = True) -> Tuple[Params
     return params, state
 
 
-def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool) -> Tuple[jnp.ndarray, State]:
+def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool,
+                     mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, State]:
     """Torch semantics: biased variance for normalization, unbiased for the
-    running stat; running = (1 - m) * running + m * batch."""
+    running stat; running = (1 - m) * running + m * batch.
+
+    ``mask`` (optional, shape == x rows, 1.0 where valid): train-mode batch
+    statistics are computed over VALID rows only. The reference includes
+    padded frames in its BN stats (models flatten (N, F, D) -> (N*F, D)
+    straight into BatchNorm1d, reference models.py:202/320/520) — a padding
+    artifact, identical to this path whenever windows are full. Masking is
+    what makes batch-axis DP padding exact: zero-length pad samples carry
+    zero mask and leave the statistics untouched (parallel/mesh.py).
+    """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.mean(jnp.square(x - mean), axis=axes)
-        count = x.size // x.shape[-1]
-        unbiased = var * (count / max(count - 1, 1))
+        if mask is None:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            count = x.size // x.shape[-1]
+            unbiased = var * (count / max(count - 1, 1))
+        else:
+            m = mask.reshape(x.shape[:-1] + (1,)).astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=axes) / count
+            var = jnp.sum(jnp.square(x - mean) * m, axis=axes) / count
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
@@ -117,14 +134,14 @@ def linear_layers_init(key, hidden_size: int, num_layers: int = 2, use_batch_nor
 
 
 def linear_layers_apply(params, state, x, *, use_skip: bool, dropout_p: float = 0.0,
-                        train: bool = False, key=None):
+                        train: bool = False, key=None, bn_mask=None):
     y = x
     new_blocks = []
     for i, (bp, bs) in enumerate(zip(params["blocks"], state["blocks"])):
         y = linear_apply(bp["linear"], y)
         nbs = {}
         if "bn" in bp:
-            y, nbs["bn"] = batch_norm_apply(bp["bn"], bs["bn"], y, train)
+            y, nbs["bn"] = batch_norm_apply(bp["bn"], bs["bn"], y, train, bn_mask)
         y = prelu_apply(bp["prelu"], y)
         if dropout_p > 0.0 and train and key is not None:
             key, sub = jax.random.split(key)
@@ -162,11 +179,11 @@ def mlp_init(key, input_size: int, output_size: int, hidden_size: int, num_layer
 
 
 def mlp_apply(params, state, x, *, skip_connection: bool = False, dropout_p: float = 0.0,
-              train: bool = False, key=None):
+              train: bool = False, key=None, bn_mask=None):
     y = linear_apply(params["input_to_hidden"], x)
     new_state = {}
     if "bn" in params:
-        y, new_state["bn"] = batch_norm_apply(params["bn"], state["bn"], y, train)
+        y, new_state["bn"] = batch_norm_apply(params["bn"], state["bn"], y, train, bn_mask)
     y = prelu_apply(params["prelu"], y)
     if dropout_p > 0.0 and train and key is not None:
         key, sub = jax.random.split(key)
@@ -178,7 +195,7 @@ def mlp_apply(params, state, x, *, skip_connection: bool = False, dropout_p: flo
         else:
             sub = None
         y, ns = linear_layers_apply(hp, hs, y, use_skip=skip_connection, dropout_p=dropout_p,
-                                    train=train, key=sub)
+                                    train=train, key=sub, bn_mask=bn_mask)
         new_hidden.append(ns)
     new_state["hidden_layers"] = new_hidden
     y = linear_apply(params["hidden_to_output"], y)
@@ -212,14 +229,21 @@ def _stacked_linear(params_a: Params, params_b: Params, y: jnp.ndarray) -> jnp.n
     return jnp.einsum("kbi,kio->kbo", y, w, precision=_HI) + b[:, None]
 
 
-def _stacked_bn(params_a, params_b, state_a, state_b, y, train):
+def _stacked_bn(params_a, params_b, state_a, state_b, y, train, mask=None):
     scale = jnp.stack([params_a["scale"], params_b["scale"]])[:, None]
     bias = jnp.stack([params_a["bias"], params_b["bias"]])[:, None]
     if train:
-        mean = jnp.mean(y, axis=1, keepdims=True)  # (2, 1, H) per-net stats
-        var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
-        count = y.shape[1]
-        unbiased = var * (count / max(count - 1, 1))
+        if mask is None:
+            mean = jnp.mean(y, axis=1, keepdims=True)  # (2, 1, H) per-net stats
+            var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+            count = y.shape[1]
+            unbiased = var * (count / max(count - 1, 1))
+        else:
+            m = mask.reshape(1, -1, 1).astype(y.dtype)  # (1, B, 1)
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(y * m, axis=1, keepdims=True) / count
+            var = jnp.sum(jnp.square(y - mean) * m, axis=1, keepdims=True) / count
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         def upd(state, m, v):
             return {"mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * m,
                     "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * v}
@@ -256,7 +280,7 @@ def _stacked_dropout(y, p, train, key_a, key_b):
 
 def mlp_pair_apply(params_a, params_b, state_a, state_b, x, *,
                    skip_connection: bool = False, dropout_p: float = 0.0,
-                   train: bool = False, key_a=None, key_b=None):
+                   train: bool = False, key_a=None, key_b=None, bn_mask=None):
     """Two ``mlp_apply``s over the same input ``x`` as stacked batched GEMMs.
 
     Requires identical input/hidden sizes and layer counts (the LGD pose/shape
@@ -269,7 +293,7 @@ def mlp_pair_apply(params_a, params_b, state_a, state_b, x, *,
     new_a, new_b = {}, {}
     if "bn" in params_a:
         y, new_a["bn"], new_b["bn"] = _stacked_bn(
-            params_a["bn"], params_b["bn"], state_a["bn"], state_b["bn"], y, train)
+            params_a["bn"], params_b["bn"], state_a["bn"], state_b["bn"], y, train, bn_mask)
     y = _stacked_prelu(params_a["prelu"], params_b["prelu"], y)
     if dropout_p > 0.0 and train:
         y, key_a, key_b = _stacked_dropout(y, dropout_p, train, key_a, key_b)
@@ -290,7 +314,7 @@ def mlp_pair_apply(params_a, params_b, state_a, state_b, x, *,
             nbs_a, nbs_b = {}, {}
             if "bn" in bp_a:
                 y, nbs_a["bn"], nbs_b["bn"] = _stacked_bn(
-                    bp_a["bn"], bp_b["bn"], bs_a["bn"], bs_b["bn"], y, train)
+                    bp_a["bn"], bp_b["bn"], bs_a["bn"], bs_b["bn"], y, train, bn_mask)
             y = _stacked_prelu(bp_a["prelu"], bp_b["prelu"], y)
             if dropout_p > 0.0 and train:
                 y, sub_a, sub_b = _stacked_dropout(y, dropout_p, train, sub_a, sub_b)

@@ -265,7 +265,8 @@ class FeedForwardResNet(BaseModel):
             shape_hat, new_state["to_shape"] = L.mlp_apply(
                 params["to_shape"], state["to_shape"], x,
                 skip_connection=self.config.m_skip_connections,
-                dropout_p=self.config.m_dropout_hidden, train=train, key=key)
+                dropout_p=self.config.m_dropout_hidden, train=train, key=key,
+                bn_mask=LS.mask_from_seq_lengths(window["seq_lengths"], x.shape[1]))
             if self.shape_avg:
                 shape_hat = _average_over_frames(shape_hat)
 
@@ -339,7 +340,8 @@ class SimpleRNN(BaseModel):
             shape_hat, new_state["to_shape"] = L.mlp_apply(
                 params["to_shape"], state["to_shape"], lstm_out,
                 skip_connection=self.config.m_skip_connections,
-                dropout_p=self.config.m_dropout_hidden, train=train, key=k_shape)
+                dropout_p=self.config.m_dropout_hidden, train=train, key=k_shape,
+                bn_mask=LS.mask_from_seq_lengths(window["seq_lengths"], lstm_out.shape[1]))
             if self.shape_avg:
                 shape_hat = _average_over_frames(shape_hat)
 
@@ -471,6 +473,9 @@ class IterativeErrorFeedback(BaseModel):
         new_state = dict(state)
         new_carry = None
         inputs_flat = x.reshape(n * f, dof)
+        # Valid-frame mask for train-mode BN statistics (see layers.py
+        # batch_norm_apply): excludes padded frames / zero-length DP pads.
+        bn_mask_flat = LS.mask_from_seq_lengths(seq_lengths, f).reshape(n * f)
 
         def subkey(tag: int):
             # Distinct dropout randomness per module application (torch draws
@@ -495,7 +500,7 @@ class IterativeErrorFeedback(BaseModel):
                     params["pose_net_init"], params["shape_net_init"],
                     state["pose_net_init"], state["shape_net_init"], inputs_flat,
                     skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                    train=train, key_a=subkey(1), key_b=subkey(2))
+                    train=train, key_a=subkey(1), key_b=subkey(2), bn_mask=bn_mask_flat)
 
         def to_single_shape(s):
             return _average_over_frames(s.reshape(n, f, -1)).reshape(n * f, -1)
@@ -560,7 +565,8 @@ class IterativeErrorFeedback(BaseModel):
                     params["pose_net_iter"], params["shape_net_iter"],
                     pose_iter_state, shape_iter_state, iter_in,
                     skip_connection=self.skip_connections, dropout_p=self.config.m_dropout_hidden,
-                    train=train, key_a=subkey(10 + 2 * i), key_b=subkey(11 + 2 * i))
+                    train=train, key_a=subkey(10 + 2 * i), key_b=subkey(11 + 2 * i),
+                    bn_mask=bn_mask_flat)
             if self.shape_avg:
                 shape_delta = to_single_shape(shape_delta)
 

@@ -58,12 +58,14 @@ def replicate(tree, mesh: Mesh):
 
 def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
     """Pad the batch axis to a multiple of the mesh size by REPEATING the
-    leading samples (wrap-around).
+    leading samples (wrap-around) with ``seq_lengths`` ZEROED on the pads.
 
-    Repetition keeps every loss term well-defined (no all-zero garbage
-    sequences in the gradient all-reduce) at the cost of double-weighting the
-    repeated samples in the batch mean; keep batch sizes divisible by the
-    mesh for exact parity.
+    Repetition keeps every tensor well-conditioned through the preprocess
+    chain (no all-zero garbage sequences), while the zeroed lengths make the
+    pads contribute exactly 0 to every masked loss term (losses.py treats
+    length-0 samples as exact zeros). The trainer rescales the batch mean by
+    n_padded/n_real (see train/loop.py), so batch-mean semantics are EXACT
+    for every batch size — pads carry zero weight, not double weight.
     """
     n = batch["poses"].shape[0]
     target = ((n + n_devices - 1) // n_devices) * n_devices
@@ -76,7 +78,10 @@ def pad_batch_to_devices(batch: Dict, n_devices: int) -> Dict:
             out[k] = list(v) + [v[int(i)] for i in reps]
             continue
         v = np.asarray(v)
-        out[k] = np.concatenate([v, v[reps]], axis=0)
+        if k == "seq_lengths":
+            out[k] = np.concatenate([v, np.zeros(target - n, dtype=v.dtype)], axis=0)
+        else:
+            out[k] = np.concatenate([v, v[reps]], axis=0)
     return out
 
 

@@ -73,15 +73,23 @@ class Trainer:
         def step(params, state, opt_state, batch, key):
             k_pre, k_model = jax.random.split(key)
             batch = pre(batch, k_pre, mode="all")
+            # DP padding correction: pads carry seq_lengths == 0 and contribute
+            # exactly 0 to every masked loss, but the batch mean divides by the
+            # padded count — rescale so the mean is over REAL samples only.
+            lengths = batch["seq_lengths"]
+            n_real = jnp.maximum(jnp.sum(lengths > 0), 1).astype(jnp.float32)
+            pad_scale = lengths.shape[0] / n_real
 
             def loss_fn(p):
                 out, new_state, _ = model.forward(p, state, batch, train=True, key=k_model)
                 total, vals = model.compute_loss(batch, out)
+                total = total * pad_scale
+                vals = {k2: v * pad_scale for k2, v in vals.items()}
                 loss_for_grad = total
                 if is_ief and match_ref:
                     # Reproduce the reference's extra per-iteration recon-error
                     # parameter gradients (see models.reference_grad_extra_loss).
-                    loss_for_grad = total + model.reference_grad_extra_loss(out)
+                    loss_for_grad = total + model.reference_grad_extra_loss(out) * pad_scale
                 return loss_for_grad, (vals, new_state)
 
             grads, (vals, new_state) = jax.grad(loss_fn, has_aux=True)(params)

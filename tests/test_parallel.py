@@ -23,9 +23,43 @@ def test_pad_batch_to_devices():
              "seq_lengths": np.asarray([4, 3, 2, 4, 1], np.int32)}
     out = M.pad_batch_to_devices(batch, 8)
     assert out["poses"].shape[0] == 8
-    # Padding repeats the leading samples (no all-zero garbage sequences).
+    # Padding repeats the leading samples (no all-zero garbage sequences)
+    # but zeroes their lengths so they carry no loss weight.
     np.testing.assert_array_equal(out["poses"][5:], batch["poses"][:3])
-    assert list(out["seq_lengths"][5:]) == [4, 3, 2]
+    assert list(out["seq_lengths"][5:]) == [0, 0, 0]
+    assert list(out["seq_lengths"][:5]) == [4, 3, 2, 4, 1]
+
+
+def test_padded_dp_step_exact_batch_mean(assets_env):
+    """A non-divisible batch (5 samples) padded onto the 8-device mesh yields
+    the same losses and updated params as the unpadded batch on one device:
+    pads get seq_lengths == 0 (zero weight in every masked loss) and the
+    trainer rescales the batch mean by n_padded/n_real (train/loop.py), so
+    batch-mean semantics are exact for every batch size."""
+    import __graft_entry__ as GE
+    from empose_tpu.train.loop import Trainer
+
+    rng = np.random.RandomState(3)
+    batch5 = {k: np.asarray(v) for k, v in GE._tiny_batch(rng, n=5, f=8).items()}
+
+    # Same seed -> identical init params/state/rng on both trainers.
+    t1 = Trainer(GE._flagship_config(tiny=True), seed=11)
+    config_dp = GE._flagship_config(tiny=True)
+    config_dp.dp_devices = 8
+    t8 = Trainer(config_dp, seed=11)
+
+    v1 = t1.train_step({k: v.copy() for k, v in batch5.items()})
+    v8 = t8.train_step({k: v.copy() for k, v in batch5.items()})
+
+    for k in v1:
+        np.testing.assert_allclose(float(v1[k]), float(v8[k]), rtol=2e-4, err_msg=k)
+    # Adam's first-step update is ~sign(grad)*lr, so f32 reassociation noise
+    # on near-zero grads (8-way psum vs single-device sum order) can flip an
+    # element by up to 2*lr = 1e-3; everything beyond that bound would be a
+    # real semantic difference (e.g. pads leaking into BN stats or losses).
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
 def test_dryrun_multichip_entrypoint():
