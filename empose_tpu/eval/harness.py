@@ -153,10 +153,64 @@ def load_model(model_id, experiment_dir: Optional[str] = None):
     return model, params, state, config, model_dir, sensor
 
 
+def export_visualization(sensor: SensorSMPL, seq_id: str, host_batch: Dict,
+                         pose_full_hat: np.ndarray, shape_hat: Optional[np.ndarray],
+                         out_dir: str) -> str:
+    """Dump predicted-vs-GT skeleton + mesh artifacts for ONE sequence.
+
+    The reference's ``--visualize`` flag only prints "not yet implemented"
+    (reference evaluate_real.py:90-92); this produces the artifact: an npz
+    with GT/predicted joints and vertices over the whole sequence, plus
+    Wavefront OBJ meshes of the first frame for direct inspection.
+
+    :param pose_full_hat: (F, 66) predicted root+body pose (angle-axis).
+    :param shape_hat: (10,) predicted betas or None (GT betas reused).
+    :return: path of the written npz.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    true_len = int(np.asarray(host_batch["seq_lengths"])[0])
+    poses_gt = np.asarray(host_batch["poses"])[0, :true_len]         # (F, 66)
+    shape_gt = np.asarray(host_batch["shapes"])[0]                   # (10,)
+    pose_hat = np.asarray(pose_full_hat)[:true_len]
+    betas_hat = shape_gt if shape_hat is None else np.asarray(shape_hat).reshape(-1)
+
+    def fk(poses, betas):
+        v, j = smplh_fk(sensor.full, jnp.asarray(poses[:, 3:]),
+                        jnp.broadcast_to(jnp.asarray(betas)[None], (poses.shape[0], betas.shape[-1])),
+                        poses_root=jnp.asarray(poses[:, :3]), want_vertices=True)
+        return np.asarray(v), np.asarray(j[:, : C.N_JOINTS + 1])
+
+    verts_gt, joints_gt = fk(poses_gt, shape_gt)
+    verts_hat, joints_hat = fk(pose_hat, betas_hat)
+    faces = np.asarray(sensor.full.faces)
+
+    npz_path = os.path.join(out_dir, f"{seq_id}.npz")
+    np.savez_compressed(
+        npz_path, joints_gt=joints_gt, joints_hat=joints_hat,
+        verts_gt=verts_gt, verts_hat=verts_hat, faces=faces,
+        poses_gt=poses_gt, pose_hat=pose_hat, shape_gt=shape_gt, shape_hat=betas_hat,
+        parents=np.asarray(C.SMPL_PARENTS[: C.N_JOINTS + 1]))
+
+    def write_obj(path, verts, faces):
+        with open(path, "w") as f:
+            for v in verts:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+            for a, b, c in faces + 1:  # OBJ is 1-indexed
+                f.write(f"f {a} {b} {c}\n")
+
+    write_obj(os.path.join(out_dir, f"{seq_id}_frame0_gt.obj"), verts_gt[0], faces)
+    write_obj(os.path.join(out_dir, f"{seq_id}_frame0_pred.obj"), verts_hat[0], faces)
+    print(f"Visualization artifacts written to {out_dir}")
+    return npz_path
+
+
 def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[int],
-                            pad_multiple: int = 256):
+                            pad_multiple: int = 256, visualize_index: int = -1,
+                            visualize_dir: Optional[str] = None):
     """Per-sequence + overall metric rows (reference evaluate_real.py:41-101).
 
+    :param visualize_index: if >= 0, dump skeleton/mesh artifacts for the
+      sequence with this index via :func:`export_visualization`.
     :return: (rows, overall_metrics, per_seq_metrics dicts)
     """
     me_all = MetricsEngine(session.sensor.full)
@@ -165,7 +219,7 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
 
     from empose_tpu.data.transforms import normalize_root
 
-    for batch in loader:
+    for seq_idx, batch in enumerate(loader):
         seq_id = batch["ids"][0]
         true_len = int(batch["seq_lengths"][0])
         print(f"Evaluate {seq_id} ({true_len} frames)")  # reference evaluate_real.py:48
@@ -181,12 +235,16 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
         me_ind.reset()
         carry = session.model.initial_carry()
         first_shape = None
+        viz_pose_chunks = []
         for c, (chunk, n_frames) in enumerate(window_generator(host_batch, window_size)):
             out, loss_vals, carry = session.forward_chunk(chunk, carry)
             shape_hat = out.get("shape_hat")
             if c == 0:
                 first_shape = None if shape_hat is None else np.asarray(shape_hat)[:, 0]
             shape_for_metrics = first_shape
+            if seq_idx == visualize_index:
+                viz_pose_chunks.append(np.concatenate(
+                    [np.asarray(out["root_ori_hat"])[0], np.asarray(out["pose_hat"])[0]], axis=-1))
 
             seq_lengths = np.asarray(chunk["seq_lengths"])
             me_args = dict(
@@ -199,6 +257,13 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
             )
             me_all.compute(**me_args)
             me_ind.compute(**me_args)
+
+        if seq_idx == visualize_index and viz_pose_chunks:
+            export_visualization(
+                session.sensor, seq_id, host_batch,
+                np.concatenate(viz_pose_chunks, axis=0),
+                None if first_shape is None else first_shape[0],
+                visualize_dir or "visualize")
 
         metrics = me_ind.get_metrics()
         rows.append([seq_id] + [metrics[k] for k in metrics])

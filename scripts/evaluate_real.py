@@ -26,8 +26,6 @@ def main(args):
                                          print_metric_table)
     from empose_tpu.nn.models import IterativeErrorFeedback
 
-    if getattr(args, "visualize", -1) != -1:
-        print("Visualization not yet implemented.")
     model, params, state, config, model_dir, sensor = load_model(args.model_id)
 
     data_dir = C.data_dir_real()
@@ -48,7 +46,10 @@ def main(args):
                                                getattr(args, "suppression_markers", 1),
                                                0.0, config.n_markers)
     session = EvalSession(model, params, state, sensor, noise_fn=noise_fn)
-    rows, overall = evaluate_real_sequences(session, loader, window_size)
+    rows, overall = evaluate_real_sequences(
+        session, loader, window_size,
+        visualize_index=getattr(args, "visualize", -1),
+        visualize_dir=os.path.join(model_dir, "visualize"))
     print_metric_table(rows, args.model_id)
     return overall
 
@@ -64,6 +65,7 @@ if __name__ == "__main__":
     p.add_argument("--suppression_markers", type=int, default=1,
                    help="How many markers are suppressed at a time.")
     p.add_argument("--visualize", type=int, default=-1,
-                   help="Visualize a sample (reference CLI compat; reference prints "
-                        "'not implemented' too, evaluate_real.py:92).")
+                   help="Dump skeleton/mesh artifacts (npz + OBJ) for the sequence with "
+                        "this index into <model_dir>/visualize/ (the reference's flag "
+                        "only prints 'not yet implemented', evaluate_real.py:90-92).")
     main(p.parse_args())

@@ -8,6 +8,9 @@ recorded metric numbers. Catches any silent numerical drift across the whole
 stack (loader -> normalization -> forward -> metrics).
 """
 
+import hashlib
+import os
+
 import numpy as np
 import pytest
 
@@ -27,6 +30,43 @@ GOLDEN = {
     "PA-MPJPE [mm]": 75.41331,
     "MPJAE [deg]": 46.56161,
 }
+
+
+# Digest of the conftest asset tree (tools/make_synthetic_assets.generate_all
+# with n_real=2, n_amass=3, n_frames=40, seed=11). The GOLDEN values above are
+# coupled to this exact generator output; pinning the digest makes a generator
+# drift fail HERE as "assets changed", not in the metric assertions below.
+ASSET_DIGEST = "41713dc64bca35a1051122de06134e2752f9202757831f726fde819655a43008"
+
+
+def _asset_digest(root: str) -> str:
+    h = hashlib.sha256()
+    for dirpath, _, filenames in sorted(os.walk(root)):
+        for fn in sorted(filenames):
+            path = os.path.join(dirpath, fn)
+            h.update(os.path.relpath(path, root).encode())
+            if fn.endswith(".npz"):
+                # Hash array payloads, not raw bytes: the zip container
+                # embeds timestamps.
+                with np.load(path) as z:
+                    for k in sorted(z.files):
+                        a = np.ascontiguousarray(z[k])
+                        h.update(k.encode())
+                        h.update(str(a.dtype).encode())
+                        h.update(str(a.shape).encode())
+                        h.update(a.tobytes())
+            else:
+                with open(path, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()
+
+
+def test_asset_generator_unchanged(assets_dir):
+    digest = _asset_digest(assets_dir)
+    assert digest == ASSET_DIGEST, (
+        f"Synthetic asset generator output changed (digest {digest}). The golden "
+        "metric values in this file are recorded against the old assets — if the "
+        "generator change is deliberate, re-record GOLDEN and update ASSET_DIGEST.")
 
 
 def test_golden_eval_numbers(assets_env):

@@ -84,6 +84,33 @@ def test_evaluate_real_cli(assets_env, trained_dir, monkeypatch):
     assert np.isfinite(overall["MPJPE [mm]"])
 
 
+def test_evaluate_real_visualize_artifacts(assets_env, trained_dir, monkeypatch):
+    """--visualize N writes npz + OBJ artifacts (the reference only prints
+    'not yet implemented', reference evaluate_real.py:90-92)."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import argparse
+    from scripts.evaluate_real import main as eval_main
+    from empose_tpu.utils.experiments import get_model_dir
+    args = argparse.Namespace(model_id="111000", cross_subject=False, window_size=None,
+                              visualize=0)
+    eval_main(args)
+    viz = os.path.join(get_model_dir(trained_dir, "111000"), "visualize")
+    files = sorted(os.listdir(viz))
+    npzs = [f for f in files if f.endswith(".npz")]
+    objs = [f for f in files if f.endswith(".obj")]
+    assert len(npzs) == 1 and len(objs) == 2
+    with np.load(os.path.join(viz, npzs[0])) as z:
+        assert z["joints_hat"].shape == z["joints_gt"].shape
+        assert z["verts_hat"].shape == z["verts_gt"].shape
+        assert z["verts_hat"].shape[1:] == (z["faces"].max() + 1, 3)
+        for k in ("joints_hat", "verts_hat", "pose_hat"):
+            assert np.isfinite(z[k]).all(), k
+    # OBJ is loadable: starts with vertex lines, face indices are 1-based.
+    with open(os.path.join(viz, objs[0])) as f:
+        first = f.readline().split()
+    assert first[0] == "v" and len(first) == 4
+
+
 def test_evaluate_real_cross_subject(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
     import argparse
