@@ -385,6 +385,17 @@ def lstm_init(key, input_size: int, hidden_size: int, num_layers: int, bidirecti
     return {"layers": layers}
 
 
+import os as _os
+
+# lax.scan unroll factor for the LSTM time loop. The recurrence is inherently
+# sequential; unrolling packs several timesteps into one loop body, cutting
+# per-iteration loop overhead. Values > 1 are numerically identical (same op
+# sequence, no reassociation). Measured on a v5e chip: unroll=4 trims the
+# isolated init-RNN stage ~7% but leaves the full LGD forward flat (the wall
+# is the FK/rotation-algebra kernel chain), so the default stays 1.
+LSTM_SCAN_UNROLL = int(_os.environ.get("EMPOSE_LSTM_UNROLL", "1"))
+
+
 def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
     """Run one LSTM direction over time with state frozen on masked steps.
 
@@ -410,7 +421,8 @@ def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
         out = h_new * m1
         return (h, c), out
 
-    (hF, cF), outs = lax.scan(step, (h0, c0), (x_proj, mask))
+    unroll = LSTM_SCAN_UNROLL if x.shape[0] % max(LSTM_SCAN_UNROLL, 1) == 0 else 1
+    (hF, cF), outs = lax.scan(step, (h0, c0), (x_proj, mask), unroll=max(unroll, 1))
     return outs, (hF, cF)
 
 
