@@ -111,6 +111,29 @@ def test_evaluate_real_visualize_artifacts(assets_env, trained_dir, monkeypatch)
     assert first[0] == "v" and len(first) == 4
 
 
+def test_evaluate_real_suppression_study(assets_env, trained_dir, monkeypatch):
+    """--suppression_length drives the sensor-dropout robustness study through
+    the CLI (reference wires suppression noise into validation,
+    noise_functions.py:31-33); deterministic per chunk, metrics stay finite
+    and the run differs from the clean one."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import argparse
+    from scripts.evaluate_real import main as eval_main
+    clean = eval_main(argparse.Namespace(model_id="111000", cross_subject=False,
+                                         window_size=16))
+    sup1 = eval_main(argparse.Namespace(model_id="111000", cross_subject=False,
+                                        window_size=16, suppression_length=0.5,
+                                        suppression_markers=3))
+    sup2 = eval_main(argparse.Namespace(model_id="111000", cross_subject=False,
+                                        window_size=16, suppression_length=0.5,
+                                        suppression_markers=3))
+    assert np.isfinite(sup1["MPJPE [mm]"])
+    # Deterministic chunk-indexed keys: repeated runs draw identical noise.
+    assert sup1["MPJPE [mm]"] == sup2["MPJPE [mm]"]
+    # Dropping 3 of 12 sensors for half of every window must change the result.
+    assert abs(sup1["MPJPE [mm]"] - clean["MPJPE [mm]"]) > 1e-6
+
+
 def test_evaluate_real_cross_subject(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
     import argparse
