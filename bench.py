@@ -157,17 +157,24 @@ def main():
             baseline = json.load(f)
 
     fps = run_tpu(args.batch, args.window, args.iters)
-    fps_throughput = run_tpu(64, args.window, args.iters)
+    default_regime = args.batch == BATCH and args.window == WINDOW
     result = {
         "metric": "lgd_rnn6_inference_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline["torch_cpu_fps"], 2) if baseline else None,
+        # The baseline is pinned at batch 8 x window 256; a custom regime
+        # would make the ratio apples-to-oranges, so report it only when
+        # like-for-like.
+        "vs_baseline": (round(fps / baseline["torch_cpu_fps"], 2)
+                        if baseline and default_regime else None),
         "batch": args.batch,
         "window": args.window,
-        "throughput_batch64_fps": round(fps_throughput, 2),
         "baseline": baseline,
     }
+    if default_regime:
+        # Extra throughput-mode row (skipped for custom regimes — no point
+        # paying a second compile for a row the caller didn't ask about).
+        result["throughput_batch64_fps"] = round(run_tpu(64, args.window, args.iters), 2)
     print(json.dumps(result))
 
 

@@ -175,10 +175,18 @@ def export_visualization(sensor: SensorSMPL, seq_id: str, host_batch: Dict,
     betas_hat = shape_gt if shape_hat is None else np.asarray(shape_hat).reshape(-1)
 
     def fk(poses, betas):
-        v, j = smplh_fk(sensor.full, jnp.asarray(poses[:, 3:]),
-                        jnp.broadcast_to(jnp.asarray(betas)[None], (poses.shape[0], betas.shape[-1])),
-                        poses_root=jnp.asarray(poses[:, :3]), want_vertices=True)
-        return np.asarray(v), np.asarray(j[:, : C.N_JOINTS + 1])
+        # Chunked: full-mesh LBS materializes (F, 6890, 3, 3) intermediates —
+        # a real-length recording (thousands of frames) in one call would OOM
+        # the device (the reference chunks its FK the same way, smpl.py:124-147).
+        vs, js = [], []
+        for s in range(0, poses.shape[0], 512):
+            p = poses[s:s + 512]
+            v, j = smplh_fk(sensor.full, jnp.asarray(p[:, 3:]),
+                            jnp.broadcast_to(jnp.asarray(betas)[None], (p.shape[0], betas.shape[-1])),
+                            poses_root=jnp.asarray(p[:, :3]), want_vertices=True)
+            vs.append(np.asarray(v))
+            js.append(np.asarray(j[:, : C.N_JOINTS + 1]))
+        return np.concatenate(vs), np.concatenate(js)
 
     verts_gt, joints_gt = fk(poses_gt, shape_gt)
     verts_hat, joints_hat = fk(pose_hat, betas_hat)
@@ -211,7 +219,7 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
 
     :param visualize_index: if >= 0, dump skeleton/mesh artifacts for the
       sequence with this index via :func:`export_visualization`.
-    :return: (rows, overall_metrics, per_seq_metrics dicts)
+    :return: (rows, overall_metrics)
     """
     me_all = MetricsEngine(session.sensor.full)
     me_ind = MetricsEngine(session.sensor.full)

@@ -262,11 +262,11 @@ class FeedForwardResNet(BaseModel):
         new_state = dict(state)
         shape_hat = None
         if self.estimate_shape:
+            # (No bn_mask: this MLP is built with use_batch_norm=False.)
             shape_hat, new_state["to_shape"] = L.mlp_apply(
                 params["to_shape"], state["to_shape"], x,
                 skip_connection=self.config.m_skip_connections,
-                dropout_p=self.config.m_dropout_hidden, train=train, key=key,
-                bn_mask=LS.mask_from_seq_lengths(window["seq_lengths"], x.shape[1]))
+                dropout_p=self.config.m_dropout_hidden, train=train, key=key)
             if self.shape_avg:
                 shape_hat = _average_over_frames(shape_hat)
 
@@ -337,11 +337,11 @@ class SimpleRNN(BaseModel):
         new_state = dict(state)
         shape_hat = None
         if self.estimate_shape:
+            # (No bn_mask: this MLP is built with use_batch_norm=False.)
             shape_hat, new_state["to_shape"] = L.mlp_apply(
                 params["to_shape"], state["to_shape"], lstm_out,
                 skip_connection=self.config.m_skip_connections,
-                dropout_p=self.config.m_dropout_hidden, train=train, key=k_shape,
-                bn_mask=LS.mask_from_seq_lengths(window["seq_lengths"], lstm_out.shape[1]))
+                dropout_p=self.config.m_dropout_hidden, train=train, key=k_shape)
             if self.shape_avg:
                 shape_hat = _average_over_frames(shape_hat)
 

@@ -13,6 +13,24 @@ from typing import Dict, Optional
 import jax
 
 
+def timeit_ms(fn, *args, iters: int = 20, warmup: int = 3) -> float:
+    """Mean wall-clock ms per call of ``fn(*args)``, device-synced.
+
+    One untimed call to trigger compilation, ``warmup`` warm calls, then
+    ``iters`` timed calls bracketed by ``block_until_ready``.
+    """
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 @contextlib.contextmanager
 def trace(log_dir: Optional[str]):
     """Capture a jax.profiler trace (view with TensorBoard / xprof)."""
