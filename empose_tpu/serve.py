@@ -11,8 +11,13 @@ same mechanics as eval) behind a push API for deployment:
 
 Frames are buffered into fixed ``chunk_size`` windows so exactly ONE XLA
 program serves the whole session; ``flush()`` drains the (padded) tail.
-Per-chunk latency on one v5e chip is a few ms for the released LGD-RNN-6 at
-chunk 16 (after the first-call compile).
+Measured end-to-end (tools/bench_serve.py, released LGD-RNN-6, chunk 16, one
+tunneled v5e chip): p50 32 ms / p99 57 ms per chunk — 8.4x real-time headroom
+at the 60 fps sensor rate, ~2 ms added latency per frame. The per-chunk
+exchange is one packed upload + one packed download; on a tunneled device
+those hops cost network RTT, which is why outputs are concatenated in-program
+(3 downloads -> 1 halved the p50 here; a locally-attached chip sits well
+below these numbers).
 """
 
 from __future__ import annotations
@@ -40,10 +45,28 @@ class StreamingPredictor:
             np.asarray(offset_t, np.float32)[None]
         self.offset_r = np.broadcast_to(np.eye(3, dtype=np.float32), (1, self.m, 3, 3)).copy() \
             if offset_r is None else np.asarray(offset_r, np.float32)[None]
+        # Session-resident device constants: on a tunneled/remote device every
+        # host<->device hop costs ~network-RTT, so the per-chunk exchange is
+        # squeezed to ONE packed upload (pos|ori) and ONE packed download
+        # (root|pose[|shape]) — measured ~2x end-to-end latency cut at chunk 16.
+        self._offset_t_dev = jnp.asarray(self.offset_t)
+        self._offset_r_dev = jnp.asarray(self.offset_r)
+        self._full_lengths = jnp.full((1,), chunk_size, jnp.int32)
+        pos_d = self.m * 3
 
-        def run(params, state, window, carry):
+        def run(params, state, pos_ori, lengths, offset_t, offset_r, carry):
+            window = {
+                "marker_pos": pos_ori[..., :pos_d],
+                "marker_ori": pos_ori[..., pos_d:],
+                "seq_lengths": lengths,
+                "offset_t": offset_t,
+                "offset_r": offset_r,
+            }
             out, _, new_carry = model.forward(params, state, window, carry, train=False)
-            return out["root_ori_hat"], out["pose_hat"], out.get("shape_hat"), new_carry
+            parts = [out["root_ori_hat"], out["pose_hat"]]
+            if out.get("shape_hat") is not None:
+                parts.append(out["shape_hat"])
+            return jnp.concatenate(parts, axis=-1), new_carry
 
         self._run = jax.jit(run)
         self.reset()
@@ -62,20 +85,18 @@ class StreamingPredictor:
         self.first_shape: Optional[np.ndarray] = None
 
     def _infer_chunk(self, pos: np.ndarray, ori: np.ndarray, n_valid: int):
-        window = {
-            "marker_pos": jnp.asarray(pos[None]),
-            "marker_ori": jnp.asarray(ori[None]),
-            "seq_lengths": jnp.asarray([n_valid], jnp.int32),
-            "offset_t": jnp.asarray(self.offset_t),
-            "offset_r": jnp.asarray(self.offset_r),
-        }
-        root, pose, shape, self.carry = self._run(self.params, self.state, window, self.carry)
+        pos_ori = jnp.asarray(np.concatenate([pos, ori], axis=-1)[None])
+        lengths = self._full_lengths if n_valid == self.chunk \
+            else jnp.asarray([n_valid], jnp.int32)
+        packed, self.carry = self._run(self.params, self.state, pos_ori, lengths,
+                                       self._offset_t_dev, self._offset_r_dev, self.carry)
+        packed = np.asarray(packed)[0, :n_valid]  # the ONE download per chunk
         out = {
-            "root_ori": np.asarray(root)[0, :n_valid],
-            "pose_body": np.asarray(pose)[0, :n_valid],
+            "root_ori": packed[:, :3],
+            "pose_body": packed[:, 3:66],
         }
+        shape = packed[:, 66:] if packed.shape[-1] > 66 else None
         if shape is not None:
-            shape = np.asarray(shape)[0, :n_valid]
             if self.first_shape is None:
                 # Shape frozen to the first chunk's estimate, matching the
                 # reference streaming eval (evaluate_real.py:63-68).
