@@ -105,24 +105,46 @@ class EvalSession:
         self.sensor = sensor
         self._chunk_counter = 0
 
+        # Trace-time side channel: loss-val names + packed-output split points
+        # (both static per model). Filled on the first trace.
+        self._val_names: list = []
+        self._splits: list = []
+
         def run_chunk(params, state, chunk, carry, key):
             if noise_fn is not None:
                 chunk = noise_fn(chunk, key)
             chunk = preprocess_real_chunk(sensor, chunk)
             out, _, new_carry = model.forward(params, state, chunk, carry, train=False)
             _, loss_vals = model.compute_loss(chunk, out)
-            slim = {k: out[k] for k in ("pose_hat", "root_ori_hat", "shape_hat", "joints_hat")
-                    if out.get(k) is not None}
-            return slim, loss_vals, new_carry
+            # Pack outputs/losses so the host pays exactly TWO d2h transfers
+            # per chunk (on a tunneled device each hop costs network RTT).
+            parts = [out["root_ori_hat"], out["pose_hat"]]
+            if out.get("shape_hat") is not None:
+                parts.append(out["shape_hat"])
+            if not self._val_names:  # runs at trace time only
+                self._val_names.extend(sorted(loss_vals))
+                r, p = out["root_ori_hat"].shape[-1], out["pose_hat"].shape[-1]
+                self._splits.extend([r, r + p, out.get("shape_hat") is not None])
+            packed = jnp.concatenate(parts, axis=-1)
+            vals = jnp.stack([loss_vals[k] for k in sorted(loss_vals)])
+            return packed, vals, new_carry
 
         self._run_chunk = jax.jit(run_chunk)
         self._noise_base_key = jax.random.PRNGKey(8004)
 
     def forward_chunk(self, chunk: Dict, carry):
+        """:return: (outputs dict of HOST arrays, loss-val dict of floats, carry)."""
         device_chunk = {k: jnp.asarray(v) for k, v in chunk.items() if k != "ids"}
         key = jax.random.fold_in(self._noise_base_key, self._chunk_counter)
         self._chunk_counter += 1
-        return self._run_chunk(self.params, self.state, device_chunk, carry, key)
+        packed, vals, new_carry = self._run_chunk(self.params, self.state, device_chunk, carry, key)
+        packed = np.asarray(packed)
+        s0, s1, has_shape = self._splits
+        out = {"root_ori_hat": packed[..., :s0], "pose_hat": packed[..., s0:s1]}
+        if has_shape:
+            out["shape_hat"] = packed[..., s1:]
+        vals_np = np.asarray(vals)
+        return out, dict(zip(self._val_names, vals_np)), new_carry
 
 
 def load_model(model_id, experiment_dir: Optional[str] = None):
