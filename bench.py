@@ -95,6 +95,40 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2):
     return frames / elapsed
 
 
+def run_train_step_tpu(iters=20, warmup=3):
+    """Median wall-clock of ONE fused training step at the released
+    LGD-RNN-6 retrain regime (batch 12 x window 32): on-device datagen
+    (FK + virtual sensors + offsets) + LGD forward + grads + adam in a
+    single XLA program. The reference's example GPU step is 0.700 s
+    (reference README.md:230)."""
+    import jax
+    import __graft_entry__ as GE
+
+    config = GE._flagship_config(tiny=False)
+    config.bs_train, config.window_size = 12, 32
+    model, sensor = GE._build_model(config)
+    step, opt_init = GE.make_train_step(model, sensor, config)
+    step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+    params, state = model.init(jax.random.PRNGKey(0))
+    opt_state = opt_init(params)
+    batch = GE._tiny_batch(np.random.RandomState(0), n=config.bs_train, f=config.window_size)
+
+    keys = [jax.random.PRNGKey(i) for i in range(warmup + iters)]
+    carry = (params, state, opt_state)
+    for i in range(warmup):
+        *carry, vals = step(*carry, batch, keys[i])
+    jax.block_until_ready(vals["total_loss"])
+    # Steps chain on-device through the donated train state, so timing the
+    # chain and dividing measures the per-step compute time (per-step
+    # blocking would bill the tunnel RTT of this environment to every step).
+    start = time.perf_counter()
+    for i in range(iters):
+        *carry, vals = step(*carry, batch, keys[warmup + i])
+    jax.block_until_ready(vals["total_loss"])
+    return float((time.perf_counter() - start) / iters * 1000.0)
+
+
 def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
     """Reference-architecture torch model on CPU (float64 full-mesh SMPL),
     measured at the SAME batch/window regime as the TPU run."""
@@ -172,9 +206,10 @@ def main():
         "baseline": baseline,
     }
     if default_regime:
-        # Extra throughput-mode row (skipped for custom regimes — no point
-        # paying a second compile for a row the caller didn't ask about).
+        # Extra rows (skipped for custom regimes — no point paying extra
+        # compiles for rows the caller didn't ask about).
         result["throughput_batch64_fps"] = round(run_tpu(64, args.window, args.iters), 2)
+        result["train_step_ms_bs12_w32"] = round(run_train_step_tpu(), 2)
     print(json.dumps(result))
 
 

@@ -224,6 +224,37 @@ def test_load_model_and_eval_data_partitions(assets_env, trained_dir, monkeypatc
     assert "joints_gt" in batch
 
 
+def test_forward_chunk_packing_matches_direct_forward(assets_env, trained_dir, monkeypatch):
+    """EvalSession packs root|pose|shape into ONE device->host transfer; the
+    unpacked host arrays must equal a direct model.forward call bit-for-bit."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.eval.harness import (EvalSession, load_model, pad_time,
+                                         preprocess_real_chunk, window_generator)
+    from empose_tpu.data.datasets import RealDataset, Loader
+    from empose_tpu.data.batches import collate_real
+
+    model, params, state, cfg, _, sensor = load_model("111000")
+    loader = Loader(RealDataset(C.data_dir_real()), 1, collate_real, shuffle=False)
+    batch = next(iter(loader))
+    session = EvalSession(model, params, state, sensor)
+    chunk, _ = next(window_generator(pad_time(batch, 32), 32))
+    out, vals, _ = session.forward_chunk(chunk, model.initial_carry())
+
+    device_chunk = {k: jnp.asarray(v) for k, v in chunk.items() if k != "ids"}
+    ref_chunk = preprocess_real_chunk(sensor, device_chunk)
+    ref_out, _, _ = model.forward(params, state, ref_chunk, model.initial_carry(), train=False)
+    _, ref_vals = model.compute_loss(ref_chunk, ref_out)
+    for k in ("root_ori_hat", "pose_hat", "shape_hat"):
+        if ref_out.get(k) is None:
+            assert k not in out
+        else:
+            np.testing.assert_array_equal(out[k], np.asarray(ref_out[k]), err_msg=k)
+    assert set(vals) == set(ref_vals)
+    for k in ref_vals:
+        # jit-fused vs eager reduction order: allow float32 ulp noise.
+        np.testing.assert_allclose(vals[k], np.asarray(ref_vals[k]), rtol=1e-5, err_msg=k)
+
+
 def test_eval_time_suppression_noise(assets_env, trained_dir, monkeypatch):
     """Robustness eval: sensor dropout at eval changes the metrics."""
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
