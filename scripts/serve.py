@@ -7,7 +7,11 @@ Protocol (one JSON object per line):
   out: {"frame": i, "root_ori": [3], "pose_body": [63], "shape": [10]?}
        (emitted per frame once its chunk completes)
 
-Usage: python scripts/serve.py --model_id <id> [--chunk 16] < frames.jsonl
+With ``--streams N`` the server multiplexes N independent sessions through
+one batched device call: input records carry ``"stream": id`` (0-based,
+default 0; reset/flush are per-stream) and output records echo it.
+
+Usage: python scripts/serve.py --model_id <id> [--chunk 16] [--streams N] < frames.jsonl
 """
 
 from __future__ import annotations
@@ -24,6 +28,9 @@ def main(args):
     from empose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
+
+    if getattr(args, "streams", 1) > 1:
+        return main_multi(args)
     from empose_tpu.serve import StreamingPredictor
 
     predictor = StreamingPredictor.from_experiment(args.model_id, chunk_size=args.chunk)
@@ -61,8 +68,56 @@ def main(args):
     emit(predictor.flush())
 
 
+def main_multi(args):
+    """Multi-session server: input records carry a "stream" id (0-based).
+
+    One batched device call serves every stream with a full chunk; output
+    records echo the stream id and a per-stream frame index.
+    """
+    import numpy as np
+    from empose_tpu.serve import MultiStreamPredictor
+
+    predictor = MultiStreamPredictor.from_experiment(
+        args.model_id, n_streams=args.streams, chunk_size=args.chunk)
+    frame_idx = [0] * args.streams
+
+    def emit(outs):
+        for sid, out in sorted(outs.items()):
+            k = out["pose_body"].shape[0]
+            for i in range(k):
+                rec = {"stream": sid, "frame": frame_idx[sid],
+                       "root_ori": out["root_ori"][i].tolist(),
+                       "pose_body": out["pose_body"][i].tolist()}
+                if "shape" in out:
+                    rec["shape"] = out["shape"][i].tolist()
+                print(json.dumps(rec), flush=True)
+                frame_idx[sid] += 1
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        msg = json.loads(line)
+        sid = int(msg.get("stream", 0))
+        if msg.get("cmd") == "reset":
+            emit(predictor.step(flush_ids=[sid]))
+            predictor.reset(sid)
+            frame_idx[sid] = 0
+            continue
+        if msg.get("cmd") == "flush":
+            emit(predictor.step(flush_ids=[sid]))
+            continue
+        predictor.push(sid, np.asarray(msg["marker_pos"], np.float32)[None],
+                       np.asarray(msg["marker_ori"], np.float32)[None])
+        if predictor.pending(sid) >= args.chunk:
+            emit(predictor.step())
+    emit(predictor.step(flush_ids=list(range(args.streams))))
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--model_id", required=True)
     p.add_argument("--chunk", type=int, default=16)
+    p.add_argument("--streams", type=int, default=1,
+                   help="Serve N independent sessions batched into one device call.")
     main(p.parse_args())

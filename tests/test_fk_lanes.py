@@ -92,6 +92,87 @@ def test_lanes_gradients_match_row_major(sensor):
         assert cos > 0.999999, name
 
 
+def _oracle_f64(sensor, pose, shape, offr, oft):
+    """Float64 numpy implementation of estimated_markers (same conventions)."""
+    sub = sensor.sub
+    tb = sensor.tables
+    J = sub.n_joints
+    parents = sub.parents
+    W = np.asarray(sub.weights, np.float64)
+    p = np.asarray(pose, np.float64)
+    s = np.asarray(shape, np.float64)
+    n = p.shape[0]
+    aa = p.reshape(n, J, 3)
+    ang = np.linalg.norm(aa + 1e-8, axis=-1, keepdims=True)
+    u = aa / ang
+    c = np.cos(ang)[..., None]
+    si = np.sin(ang)[..., None]
+    K = np.zeros((n, J, 3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -u[..., 2], u[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = u[..., 2], -u[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -u[..., 1], u[..., 0]
+    I = np.eye(3)
+    R = I + si * K + (1 - c) * (K @ K)
+    j_rest = np.asarray(sub.j_template, np.float64)[None] + np.einsum(
+        "jdb,nb->njd", np.asarray(sub.j_shapedirs, np.float64), s)
+    Rg = np.zeros((n, J, 3, 3))
+    tg = np.zeros((n, J, 3))
+    Rg[:, 0], tg[:, 0] = R[:, 0], j_rest[:, 0]
+    for j in range(1, J):
+        pa = parents[j]
+        Rg[:, j] = Rg[:, pa] @ R[:, j]
+        tg[:, j] = np.einsum("nab,nb->na", Rg[:, pa], j_rest[:, j] - j_rest[:, pa]) + tg[:, pa]
+    tsk = tg - np.einsum("njab,njb->nja", Rg, j_rest)
+    v_rest = np.asarray(sub.v_template, np.float64)[None] + np.einsum(
+        "vdb,nb->nvd", np.asarray(sub.shapedirs, np.float64), s)
+    pfeat = (R[:, 1:] - I).reshape(n, -1)
+    v_posed = v_rest + (pfeat @ np.asarray(sub.posedirs, np.float64)).reshape(n, -1, 3)
+    Rw = np.einsum("vj,njab->nvab", W, Rg)
+    tw = np.einsum("vj,nja->nva", W, tsk)
+    verts = np.einsum("nvab,nvb->nva", Rw, v_posed) + tw
+    fr = np.asarray(tb.sub_faces_rows)
+    vf = np.asarray(tb.vertex_faces)
+    vs = verts[:, fr]
+    fn = np.cross(vs[:, :, 1] - vs[:, :, 0], vs[:, :, 2] - vs[:, :, 0])
+    valid = vf >= 0
+    nr = (fn[:, np.maximum(vf, 0)] * valid[None, :, :, None]).sum(-2) \
+        / valid.sum(-1)[None, :, None]
+    ns = nr / np.linalg.norm(nr, axis=-1, keepdims=True)
+    mk = verts[:, np.asarray(tb.marker_rows)]
+    hp = verts[:, np.asarray(tb.helper_rows)]
+    osf = hp - mk
+    osf = osf / np.linalg.norm(osf, axis=-1, keepdims=True)
+    third = np.cross(ns, osf)
+    third = third / np.linalg.norm(third, axis=-1, keepdims=True)
+    osf2 = np.cross(third, ns)
+    osf2 = osf2 / np.linalg.norm(osf2, axis=-1, keepdims=True)
+    frames = np.stack([osf2, third, ns], -1)
+    oc = frames @ np.asarray(offr, np.float64)
+    pc = mk + (frames @ np.asarray(oft, np.float64)[..., None])[..., 0]
+    return pc, oc, tg
+
+
+def test_both_paths_match_float64_oracle(sensor):
+    """Lanes AND row-major sit at the same f32 distance from float64 truth —
+    the lane layout costs no accuracy."""
+    rng = np.random.RandomState(6)
+    poses, shapes, offset_r, offset_t = _random_inputs(rng, 256)
+    g_pc, g_oc, g_j = _oracle_f64(sensor, poses, shapes, offset_r, offset_t)
+
+    a = jax.jit(lambda *xs: _row_major(sensor, *xs))(poses, shapes, offset_r, offset_t)
+    orr, ott = sensor.lane_fk.prepare_offsets(offset_r, offset_t)
+    b = jax.jit(sensor.lane_fk)(poses, shapes, orr, ott)
+
+    for out, name in ((a, "row-major"), (b, "lanes")):
+        d_pos = np.abs(np.asarray(out[0], np.float64) - g_pc)
+        d_ori = np.abs(np.asarray(out[1], np.float64) - g_oc)
+        d_j = np.abs(np.asarray(out[2], np.float64) - g_j)
+        assert d_j.max() < 2e-6, name
+        assert d_pos.max() < 1e-4, name
+        assert np.quantile(d_ori, 0.999) < 2e-4, name
+        assert d_ori.max() < 5e-3, name
+
+
 def test_ief_forward_lanes_toggle(smplh_model):
     """The full LGD model produces near-identical outputs with lanes on/off."""
     from empose_tpu.config import Configuration

@@ -63,6 +63,142 @@ def test_flush_and_reset(rnn_setup):
     assert predictor.flush() is None
 
 
+def _lgd_setup(seed=1):
+    cfg = Configuration.from_dict(dict(
+        m_type="lgd", m_rnn_init=True, m_use_gradient=True, m_average_shape=True,
+        m_num_iterations=1, m_hidden_size=16, m_num_layers=1, m_rnn_hidden_size=8,
+        m_rnn_num_layers=1, m_rnn_bidirectional=False,
+        use_marker_pos=True, use_marker_ori=True, use_real_offsets=True,
+        n_markers=12, window_size=4, lr=1e-3))
+    model, _ = GE._build_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(seed))
+    return model, params, state
+
+
+def test_multi_stream_matches_single_streams(rnn_setup):
+    """MultiStreamPredictor: 3 interleaved sessions == 3 independent
+    single-stream predictors, frame for frame — including a mid-session reset
+    and per-stream mounting offsets."""
+    from empose_tpu.serve import MultiStreamPredictor
+    model, params, state = _lgd_setup(seed=3)
+    rng = np.random.RandomState(7)
+    S, chunk = 3, 4
+    n_frames = [12, 8, 12]
+    feeds = [(rng.randn(n, 36).astype(np.float32), rng.randn(n, 108).astype(np.float32))
+             for n in n_frames]
+    offsets = [((rng.randn(12, 3) * 0.02).astype(np.float32),
+                np.broadcast_to(np.eye(3, dtype=np.float32), (12, 3, 3)).copy())
+               for _ in range(S)]
+
+    multi = MultiStreamPredictor(model, params, state, n_streams=S, chunk_size=chunk)
+    singles = []
+    for i in range(S):
+        multi.set_offsets(i, *offsets[i])
+        singles.append(StreamingPredictor(model, params, state, chunk_size=chunk,
+                                          offset_t=offsets[i][0], offset_r=offsets[i][1]))
+
+    got = {i: [] for i in range(S)}
+    want = {i: [] for i in range(S)}
+    reset_at = {1: 4}  # stream 1 restarts after 4 frames
+    fed = [0] * S
+    for t in range(max(n_frames)):
+        for i in range(S):
+            if fed[i] >= n_frames[i]:
+                continue
+            if reset_at.get(i) == fed[i]:
+                multi.reset(i)
+                singles[i].reset()
+            pos, ori = feeds[i][0][fed[i]:fed[i] + 1], feeds[i][1][fed[i]:fed[i] + 1]
+            multi.push(i, pos, ori)
+            o = singles[i].push(pos, ori)
+            if o is not None:
+                want[i].append(o["pose_body"])
+            fed[i] += 1
+        for sid, out in multi.step().items():
+            got[sid].append(out["pose_body"])
+
+    # Drain tails identically.
+    for sid, out in multi.step(flush_ids=list(range(S))).items():
+        got[sid].append(out["pose_body"])
+    for i in range(S):
+        o = singles[i].flush()
+        if o is not None:
+            want[i].append(o["pose_body"])
+
+    for i in range(S):
+        g = np.concatenate(got[i]) if got[i] else np.zeros((0, 63))
+        w = np.concatenate(want[i]) if want[i] else np.zeros((0, 63))
+        assert g.shape == w.shape, i
+        np.testing.assert_allclose(g, w, atol=1e-5, err_msg=f"stream {i}")
+
+
+def test_multi_stream_idle_streams_untouched(rnn_setup):
+    """A stream that never receives frames stays bit-identical to a fresh one:
+    zero-length windows freeze its carry."""
+    from empose_tpu.serve import MultiStreamPredictor
+    model, params, state = _lgd_setup(seed=4)
+    rng = np.random.RandomState(8)
+    multi = MultiStreamPredictor(model, params, state, n_streams=2, chunk_size=4)
+    # Feed only stream 0 for two chunks.
+    multi.push(0, rng.randn(8, 36).astype(np.float32), rng.randn(8, 108).astype(np.float32))
+    outs = multi.step()
+    outs2 = multi.step()
+    assert set(outs) == {0} and set(outs2) == {0}
+    # Now stream 1 starts: must match a fresh single-stream predictor.
+    pos = rng.randn(4, 36).astype(np.float32)
+    ori = rng.randn(4, 108).astype(np.float32)
+    multi.push(1, pos, ori)
+    got = multi.step()[1]["pose_body"]
+    single = StreamingPredictor(model, params, state, chunk_size=4)
+    want = single.push(pos, ori)["pose_body"]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path):
+    """scripts/serve.py --streams N: per-stream records in, per-stream
+    records out, interleaved."""
+    import io
+    import json
+    import argparse
+    import os
+    from empose_tpu.checkpoint.native import save_params_state
+    from empose_tpu.config import Configuration
+
+    model, params, state = rnn_setup
+    # Fake experiment dir the CLI can load.
+    exp = tmp_path / "700001-RNN-test"
+    exp.mkdir()
+    cfg = Configuration.from_dict(dict(
+        m_type="rnn", m_bidirectional=False, m_hidden_size=16, m_num_layers=1,
+        m_estimate_shape=True, m_shape_hidden_size=8, m_average_shape=False,
+        use_marker_pos=True, use_marker_ori=True, n_markers=12, window_size=8, lr=1e-3))
+    cfg.to_json(str(exp / "config.json"))
+    save_params_state(str(exp / "checkpoint_model"), params, state)
+    monkeypatch.setenv("EM_EXPERIMENTS", str(tmp_path))
+
+    rng = np.random.RandomState(9)
+    lines = []
+    for t in range(4):
+        for sid in (0, 1):
+            lines.append(json.dumps({
+                "stream": sid,
+                "marker_pos": rng.randn(36).astype(float).tolist(),
+                "marker_ori": rng.randn(108).astype(float).tolist()}))
+    monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+
+    from scripts.serve import main as serve_main
+    serve_main(argparse.Namespace(model_id="700001", chunk=4, streams=2))
+    out_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+    by_stream = {}
+    for rec in out_lines:
+        by_stream.setdefault(rec["stream"], []).append(rec)
+    assert set(by_stream) == {0, 1}
+    for sid, recs in by_stream.items():
+        assert [r["frame"] for r in recs] == list(range(4))
+        assert all(len(r["pose_body"]) == 63 for r in recs)
+
+
 def test_streaming_lgd_with_carry(rnn_setup):
     """LGD-RNN predictor: chunked streaming == manual chunked forward with carry."""
     cfg = Configuration.from_dict(dict(
