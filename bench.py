@@ -60,39 +60,59 @@ def make_window(rng, n, f):
     }
 
 
-def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2):
+def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest",)):
+    """Measure streaming-inference fps at each NN matmul precision.
+
+    "highest" is the torch-parity mode (f32 on the MXU, the headline
+    number); "default" is the bf16-input serving mode (measured sub-0.03mm
+    MPJPE shift, see README). One model build serves all precisions — the
+    precision binds when the forward is (re)jitted.
+
+    :return: {precision: frames/s}.
+    """
     import jax
     from empose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import __graft_entry__ as GE
+    from empose_tpu.nn import layers as L
 
     config = bench_config()
     model, _ = GE._build_model(config)
     params, state = model.init(jax.random.PRNGKey(0))
 
-    def forward(params, state, w, carry):
-        out, _, new_carry = model.forward(params, state, w, carry, train=False)
-        return out["pose_hat"], out["root_ori_hat"], out["shape_hat"], new_carry
-
-    fwd = jax.jit(forward)
     rng = np.random.RandomState(0)
     w = {k: jax.numpy.asarray(v) for k, v in make_window(rng, batch, window).items()}
 
-    carry = None
-    outs = fwd(params, state, w, carry)
-    carry = outs[-1]
-    jax.block_until_ready(outs[0])
-    for _ in range(warmup):
-        outs = fwd(params, state, w, outs[-1])
-    jax.block_until_ready(outs[0])
+    results = {}
+    try:
+        for prec in precisions:
+            L.set_nn_precision(prec)
 
-    start = time.perf_counter()
-    for _ in range(iters):
-        outs = fwd(params, state, w, outs[-1])
-    jax.block_until_ready(outs[0])
-    elapsed = time.perf_counter() - start
-    frames = batch * window * iters
-    return frames / elapsed
+            # A FRESH function object per precision: jax.jit's trace cache is
+            # keyed on the underlying callable, so re-jitting the same object
+            # would silently reuse the previous precision's trace.
+            def forward(params, state, w, carry):
+                out, _, new_carry = model.forward(params, state, w, carry, train=False)
+                return out["pose_hat"], out["root_ori_hat"], out["shape_hat"], new_carry
+
+            fwd = jax.jit(forward)
+            carry = None
+            outs = fwd(params, state, w, carry)
+            carry = outs[-1]
+            jax.block_until_ready(outs[0])
+            for _ in range(warmup):
+                outs = fwd(params, state, w, outs[-1])
+            jax.block_until_ready(outs[0])
+
+            start = time.perf_counter()
+            for _ in range(iters):
+                outs = fwd(params, state, w, outs[-1])
+            jax.block_until_ready(outs[0])
+            elapsed = time.perf_counter() - start
+            results[prec] = batch * window * iters / elapsed
+    finally:
+        L.set_nn_precision("highest")
+    return results
 
 
 def run_train_step_tpu(iters=20, warmup=3):
@@ -190,8 +210,8 @@ def main():
         with open(BASELINE_FILE) as f:
             baseline = json.load(f)
 
-    fps = run_tpu(args.batch, args.window, args.iters)
     default_regime = args.batch == BATCH and args.window == WINDOW
+    fps = run_tpu(args.batch, args.window, args.iters)["highest"]
     result = {
         "metric": "lgd_rnn6_inference_frames_per_sec",
         "value": round(fps, 2),
@@ -207,8 +227,15 @@ def main():
     }
     if default_regime:
         # Extra rows (skipped for custom regimes — no point paying extra
-        # compiles for rows the caller didn't ask about).
-        result["throughput_batch64_fps"] = round(run_tpu(64, args.window, args.iters), 2)
+        # compiles for rows the caller didn't ask about). The bf16 row is
+        # the DEFAULT-precision serving mode (EMPOSE_NN_PRECISION=default,
+        # measured sub-0.03mm MPJPE shift); the headline stays at
+        # torch-parity precision. bf16 is only reported for throughput mode
+        # — in latency mode (batch 8) the serial-scan dispatch dominates and
+        # the bf16 delta is inside run-to-run variance.
+        thr = run_tpu(64, args.window, args.iters, precisions=("highest", "default"))
+        result["throughput_batch64_fps"] = round(thr["highest"], 2)
+        result["bf16_throughput_batch64_fps"] = round(thr["default"], 2)
         result["train_step_ms_bs12_w32"] = round(run_train_step_tpu(), 2)
     print(json.dumps(result))
 

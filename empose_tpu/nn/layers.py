@@ -27,7 +27,28 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-_HI = lax.Precision.HIGHEST
+# Matmul precision for the NN layers (linear/MLP/LSTM gate GEMMs). HIGHEST
+# keeps f32-on-MXU parity with the f64 torch reference (~5e-5); DEFAULT runs
+# the MXU in bf16-input mode — measured +32% latency / +50% throughput on
+# the flagship with a sub-0.03mm MPJPE shift (see README). Kinematics
+# (ops/, bodymodel/) are NOT governed by this knob — their precision is
+# pinned where they live. Env default EMPOSE_NN_PRECISION, or call
+# set_nn_precision() before (re)tracing.
+import os as _os_prec
+
+_PRECISIONS = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+               "default": lax.Precision.DEFAULT}
+_HI = _PRECISIONS[_os_prec.environ.get("EMPOSE_NN_PRECISION", "highest").lower()]
+
+
+def set_nn_precision(name: str) -> None:
+    """Switch the NN-layer matmul precision for functions traced AFTER this
+    call (precision binds at trace time; already-jitted programs keep
+    theirs). Caveat: jax.jit's trace cache is keyed on the callable, so
+    re-jitting the SAME function object after switching silently reuses the
+    old trace — jit a fresh closure per precision."""
+    global _HI
+    _HI = _PRECISIONS[name.lower()]
 
 Params = Dict
 State = Dict

@@ -139,6 +139,28 @@ def test_lstm_wavefront_schedule_parity(monkeypatch, num_layers):
     np.testing.assert_allclose(np.asarray(c_wf), np.asarray(c_seq), atol=1e-6)
 
 
+def test_nn_precision_knob():
+    """set_nn_precision rebinds the trace-time matmul precision and the
+    forward stays numerically sane (on CPU the modes are bit-identical;
+    the knob's perf/accuracy contract on the chip is documented in README)."""
+    key = jax.random.PRNGKey(3)
+    params = L.lstm_init(key, input_size=4, hidden_size=8, num_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 4))
+    lengths = jnp.asarray([6, 3])
+
+    ref, _ = L.lstm_apply(params, x, lengths)
+    try:
+        L.set_nn_precision("default")
+        assert L._HI == jax.lax.Precision.DEFAULT
+        out, _ = L.lstm_apply(params, x, lengths)
+    finally:
+        L.set_nn_precision("highest")
+    assert L._HI == jax.lax.Precision.HIGHEST
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    with pytest.raises(KeyError):
+        L.set_nn_precision("float16")
+
+
 def test_lstm_learned_init_state_parity():
     torch.manual_seed(6)
     rnn = TorchRNNLayer(5, 6, 2, learn_init_state=True)
