@@ -75,6 +75,7 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
     enable_compilation_cache()
     import __graft_entry__ as GE
     from empose_tpu.nn import layers as L
+    from empose_tpu.ops import fk_lanes as FK
 
     config = bench_config()
     model, _ = GE._build_model(config)
@@ -86,7 +87,11 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
     results = {}
     try:
         for prec in precisions:
+            # "default" is the full bf16 serving mode: NN GEMMs AND the
+            # lane-major kinematics GEMMs (each validated separately for
+            # accuracy; combined shift +0.03mm MPJPE on a trained LGD eval).
             L.set_nn_precision(prec)
+            FK.set_fk_precision(prec)
 
             # A FRESH function object per precision: jax.jit's trace cache is
             # keyed on the underlying callable, so re-jitting the same object
@@ -112,6 +117,7 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
             results[prec] = batch * window * iters / elapsed
     finally:
         L.set_nn_precision("highest")
+        FK.set_fk_precision("highest")
     return results
 
 
@@ -228,9 +234,9 @@ def main():
     if default_regime:
         # Extra rows (skipped for custom regimes — no point paying extra
         # compiles for rows the caller didn't ask about). The bf16 row is
-        # the DEFAULT-precision serving mode (EMPOSE_NN_PRECISION=default,
-        # measured sub-0.03mm MPJPE shift); the headline stays at
-        # torch-parity precision. bf16 is only reported for throughput mode
+        # the DEFAULT-precision serving mode (EMPOSE_NN_PRECISION=default +
+        # EMPOSE_FK_PRECISION=default, measured sub-0.04mm MPJPE shift); the
+        # headline stays at torch-parity precision. bf16 is only reported for throughput mode
         # — in latency mode (batch 8) the serial-scan dispatch dominates and
         # the bf16 delta is inside run-to-run variance.
         thr = run_tpu(64, args.window, args.iters, precisions=("highest", "default"))

@@ -32,8 +32,9 @@ from jax import lax
 # the MXU in bf16-input mode — measured +32% latency / +50% throughput on
 # the flagship with a sub-0.03mm MPJPE shift (see README). Kinematics
 # (ops/, bodymodel/) are NOT governed by this knob — their precision is
-# pinned where they live. Env default EMPOSE_NN_PRECISION, or call
-# set_nn_precision() before (re)tracing.
+# pinned where they live (the lane-major FK GEMMs have their own opt-in
+# knob, ops/fk_lanes.set_fk_precision). Env default EMPOSE_NN_PRECISION,
+# or call set_nn_precision() before (re)tracing.
 import os as _os_prec
 
 _PRECISIONS = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,

@@ -37,7 +37,27 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-_HI = lax.Precision.HIGHEST
+# Matmul precision for the lane-major kinematics GEMMs (blendshapes, joint
+# regression, LBS). HIGHEST keeps f32-on-MXU parity with the row-major path
+# (~3e-5 vs the f64 oracle); DEFAULT runs them bf16-input — combined with
+# EMPOSE_NN_PRECISION=default it measured +9% throughput on top of NN-bf16
+# (1.05M -> 1.14M frames/s at batch 64) with a +0.03mm MPJPE shift on a
+# trained LGD eval (see README). Env default EMPOSE_FK_PRECISION, or call
+# set_fk_precision() before (re)tracing — precision binds at trace time, and
+# jax.jit's trace cache keys on the callable, so re-jit a FRESH closure
+# after switching.
+import os as _os
+
+_PRECISIONS = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
+               "default": lax.Precision.DEFAULT}
+_HI = _PRECISIONS[_os.environ.get("EMPOSE_FK_PRECISION", "highest").lower()]
+
+
+def set_fk_precision(name: str) -> None:
+    """Switch the lane-major kinematics GEMM precision for functions traced
+    AFTER this call (see the caveats on ``layers.set_nn_precision``)."""
+    global _HI
+    _HI = _PRECISIONS[name.lower()]
 
 
 def _rodrigues_lanes(aa: jnp.ndarray) -> jnp.ndarray:

@@ -173,6 +173,32 @@ def test_both_paths_match_float64_oracle(sensor):
         assert d_ori.max() < 5e-3, name
 
 
+def test_fk_precision_knob(sensor):
+    """set_fk_precision rebinds the kinematics GEMM precision for fresh
+    traces and restores cleanly (the bf16 serving mode's FK half)."""
+    from empose_tpu.ops import fk_lanes
+
+    rng = np.random.RandomState(7)
+    poses, shapes, offset_r, offset_t = _random_inputs(rng, 64)
+    orr, ott = sensor.lane_fk.prepare_offsets(offset_r, offset_t)
+
+    a = jax.jit(lambda *xs: sensor.lane_fk(*xs))(poses, shapes, orr, ott)
+    try:
+        fk_lanes.set_fk_precision("default")
+        assert fk_lanes._HI == jax.lax.Precision.DEFAULT
+        # Fresh closure: precision binds at trace time.
+        b = jax.jit(lambda *xs: sensor.lane_fk(*xs))(poses, shapes, orr, ott)
+    finally:
+        fk_lanes.set_fk_precision("highest")
+    assert fk_lanes._HI == jax.lax.Precision.HIGHEST
+
+    # On the CPU test mesh DEFAULT is still f32 so agreement is tight; the
+    # bound is kept loose enough (mm-scale outputs, bf16 mantissa ~3 digits)
+    # that a TPU run of this test would also pass.
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]), atol=2e-2)
+
+
 def test_ief_forward_lanes_toggle(smplh_model):
     """The full LGD model produces near-identical outputs with lanes on/off."""
     from empose_tpu.config import Configuration
