@@ -11,7 +11,8 @@ With ``--streams N`` the server multiplexes N independent sessions through
 one batched device call: input records carry ``"stream": id`` (0-based,
 default 0; reset/flush are per-stream) and output records echo it.
 
-Usage: python scripts/serve.py --model_id <id> [--chunk 16] [--streams N] < frames.jsonl
+Usage: python scripts/serve.py --model_id <id> [--chunk 16] [--streams N]
+           [--precision highest|default] < frames.jsonl
 """
 
 from __future__ import annotations
@@ -24,11 +25,26 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _set_precision(args):
+    """Bind the serving precision before the predictor's first trace.
+
+    "highest" (default) is the torch-parity mode; "default" is the validated
+    bf16 serving mode — NN and lane-major kinematics GEMMs run bf16-input
+    (+~57% batched throughput, sub-0.04mm MPJPE shift; see README).
+    """
+    prec = getattr(args, "precision", "highest")
+    from empose_tpu.nn import layers as L
+    from empose_tpu.ops import fk_lanes as FK
+    L.set_nn_precision(prec)
+    FK.set_fk_precision(prec)
+
+
 def main(args):
     from empose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
 
+    _set_precision(args)
     if getattr(args, "streams", 1) > 1:
         return main_multi(args)
     from empose_tpu.serve import StreamingPredictor
@@ -120,4 +136,8 @@ if __name__ == "__main__":
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--streams", type=int, default=1,
                    help="Serve N independent sessions batched into one device call.")
+    p.add_argument("--precision", choices=("highest", "default"), default="highest",
+                   help="Matmul precision: 'highest' = torch-parity f32 on the MXU; "
+                        "'default' = bf16-input serving mode (validated sub-0.04mm "
+                        "MPJPE shift, ~+57%% batched throughput).")
     main(p.parse_args())

@@ -199,6 +199,56 @@ def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_
         assert all(len(r["pose_body"]) == 63 for r in recs)
 
 
+def test_serve_cli_precision_flag(rnn_setup, assets_env, monkeypatch, capsys, tmp_path):
+    """--precision default (bf16 serving mode) binds both knobs, restores
+    cleanly, and produces outputs matching the parity mode (identical on the
+    CPU test mesh, where DEFAULT is still f32)."""
+    import io
+    import json
+    import argparse
+    from empose_tpu.checkpoint.native import save_params_state
+    from empose_tpu.nn import layers as L
+    from empose_tpu.ops import fk_lanes as FK
+
+    model, params, state = rnn_setup
+    exp = tmp_path / "700002-RNN-test"
+    exp.mkdir()
+    cfg = Configuration.from_dict(dict(
+        m_type="rnn", m_bidirectional=False, m_hidden_size=16, m_num_layers=1,
+        m_estimate_shape=True, m_shape_hidden_size=8, m_average_shape=False,
+        use_marker_pos=True, use_marker_ori=True, n_markers=12, window_size=8, lr=1e-3))
+    cfg.to_json(str(exp / "config.json"))
+    save_params_state(str(exp / "checkpoint_model"), params, state)
+    monkeypatch.setenv("EM_EXPERIMENTS", str(tmp_path))
+
+    rng = np.random.RandomState(11)
+    lines = [json.dumps({"marker_pos": rng.randn(36).astype(float).tolist(),
+                         "marker_ori": rng.randn(108).astype(float).tolist()})
+             for _ in range(4)]
+    from scripts.serve import main as serve_main
+
+    outs = {}
+    try:
+        for prec in ("highest", "default"):
+            monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
+            serve_main(argparse.Namespace(model_id="700002", chunk=4, streams=1,
+                                          precision=prec))
+            outs[prec] = [json.loads(l) for l in
+                          capsys.readouterr().out.strip().splitlines()
+                          if l.startswith("{")]
+            if prec == "default":
+                assert L._HI == jax.lax.Precision.DEFAULT
+                assert FK._HI == jax.lax.Precision.DEFAULT
+    finally:
+        L.set_nn_precision("highest")
+        FK.set_fk_precision("highest")
+
+    assert len(outs["highest"]) == len(outs["default"]) == 4
+    a = np.array([r["pose_body"] for r in outs["highest"]])
+    b = np.array([r["pose_body"] for r in outs["default"]])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_streaming_lgd_with_carry(rnn_setup):
     """LGD-RNN predictor: chunked streaming == manual chunked forward with carry."""
     cfg = Configuration.from_dict(dict(
