@@ -85,7 +85,8 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
     w = {k: jax.numpy.asarray(v) for k, v in make_window(rng, batch, window).items()}
 
     results = {}
-    try:
+    entry_nn, entry_fk = L._HI, FK._HI  # restore the caller's (possibly
+    try:                                # env-selected) precisions on exit
         for prec in precisions:
             # "default" is the full bf16 serving mode: NN GEMMs AND the
             # lane-major kinematics GEMMs (each validated separately for
@@ -116,8 +117,7 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
             elapsed = time.perf_counter() - start
             results[prec] = batch * window * iters / elapsed
     finally:
-        L.set_nn_precision("highest")
-        FK.set_fk_precision("highest")
+        L._HI, FK._HI = entry_nn, entry_fk
     return results
 
 
@@ -144,7 +144,8 @@ def run_train_step_tpu(iters=20, warmup=3):
     carry = (params, state, opt_state)
     for i in range(warmup):
         *carry, vals = step(*carry, batch, keys[i])
-    jax.block_until_ready(vals["total_loss"])
+    if warmup:
+        jax.block_until_ready(vals["total_loss"])
     # Steps chain on-device through the donated train state, so timing the
     # chain and dividing measures the per-step compute time (per-step
     # blocking would bill the tunnel RTT of this environment to every step).

@@ -37,9 +37,9 @@ from jax import lax
 # or call set_nn_precision() before (re)tracing.
 import os as _os_prec
 
-_PRECISIONS = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
-               "default": lax.Precision.DEFAULT}
-_HI = _PRECISIONS[_os_prec.environ.get("EMPOSE_NN_PRECISION", "highest").lower()]
+from empose_tpu.utils.precision import resolve as _resolve_precision
+
+_HI = _resolve_precision(_os_prec.environ.get("EMPOSE_NN_PRECISION", "highest"))
 
 
 def set_nn_precision(name: str) -> None:
@@ -49,7 +49,7 @@ def set_nn_precision(name: str) -> None:
     re-jitting the SAME function object after switching silently reuses the
     old trace — jit a fresh closure per precision."""
     global _HI
-    _HI = _PRECISIONS[name.lower()]
+    _HI = _resolve_precision(name)
 
 Params = Dict
 State = Dict

@@ -48,16 +48,16 @@ from jax import lax
 # after switching.
 import os as _os
 
-_PRECISIONS = {"highest": lax.Precision.HIGHEST, "high": lax.Precision.HIGH,
-               "default": lax.Precision.DEFAULT}
-_HI = _PRECISIONS[_os.environ.get("EMPOSE_FK_PRECISION", "highest").lower()]
+from empose_tpu.utils.precision import resolve as _resolve_precision
+
+_HI = _resolve_precision(_os.environ.get("EMPOSE_FK_PRECISION", "highest"))
 
 
 def set_fk_precision(name: str) -> None:
     """Switch the lane-major kinematics GEMM precision for functions traced
     AFTER this call (see the caveats on ``layers.set_nn_precision``)."""
     global _HI
-    _HI = _PRECISIONS[name.lower()]
+    _HI = _resolve_precision(name)
 
 
 def _rodrigues_lanes(aa: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,41 @@ import jax
 import jax.numpy as jnp
 
 
+def _make_run(model, pos_d: int, sink) -> "jax.stages.Wrapped":
+    """The per-chunk device program shared by both predictor classes:
+    unpack the ONE upload (pos|ori), forward, concatenate the outputs into
+    the ONE download (root|pose[|shape]). Records the actual root/pose
+    widths on ``sink`` at trace time (like eval/harness.py's EvalSession)
+    so the host-side unpack never hardcodes the 3/63 layout."""
+
+    def run(params, state, pos_ori, lengths, offset_t, offset_r, carry):
+        window = {
+            "marker_pos": pos_ori[..., :pos_d],
+            "marker_ori": pos_ori[..., pos_d:],
+            "seq_lengths": lengths,
+            "offset_t": offset_t,
+            "offset_r": offset_r,
+        }
+        out, _, new_carry = model.forward(params, state, window, carry, train=False)
+        parts = [out["root_ori_hat"], out["pose_hat"]]
+        if out.get("shape_hat") is not None:
+            parts.append(out["shape_hat"])
+        sink._w_root = int(out["root_ori_hat"].shape[-1])
+        sink._w_pose = int(out["pose_hat"].shape[-1])
+        return jnp.concatenate(parts, axis=-1), new_carry
+
+    return jax.jit(run)
+
+
+def _unpack_rows(sink, rows: np.ndarray) -> Dict[str, np.ndarray]:
+    """Split a (K, root|pose[|shape]) download by the trace-recorded widths."""
+    r, p = sink._w_root, sink._w_pose
+    out = {"root_ori": rows[:, :r], "pose_body": rows[:, r:r + p]}
+    if rows.shape[-1] > r + p:
+        out["shape"] = rows[:, r + p:]
+    return out
+
+
 class StreamingPredictor:
     def __init__(self, model, params, state, chunk_size: int = 16,
                  offset_t: Optional[np.ndarray] = None, offset_r: Optional[np.ndarray] = None,
@@ -41,35 +76,40 @@ class StreamingPredictor:
         self.state = state
         self.chunk = chunk_size
         self.m = n_raw_markers
-        self.offset_t = np.zeros((1, self.m, 3), np.float32) if offset_t is None else \
+        self._offset_t = np.zeros((1, self.m, 3), np.float32) if offset_t is None else \
             np.asarray(offset_t, np.float32)[None]
-        self.offset_r = np.broadcast_to(np.eye(3, dtype=np.float32), (1, self.m, 3, 3)).copy() \
+        self._offset_r = np.broadcast_to(np.eye(3, dtype=np.float32), (1, self.m, 3, 3)).copy() \
             if offset_r is None else np.asarray(offset_r, np.float32)[None]
         # Session-resident device constants: on a tunneled/remote device every
         # host<->device hop costs ~network-RTT, so the per-chunk exchange is
         # squeezed to ONE packed upload (pos|ori) and ONE packed download
         # (root|pose[|shape]) — measured ~2x end-to-end latency cut at chunk 16.
-        self._offset_t_dev = jnp.asarray(self.offset_t)
-        self._offset_r_dev = jnp.asarray(self.offset_r)
+        # Re-uploaded (dirty flag) when the offsets are reassigned mid-session.
+        self._offsets_dirty = True
+        self._offset_t_dev = None
+        self._offset_r_dev = None
         self._full_lengths = jnp.full((1,), chunk_size, jnp.int32)
-        pos_d = self.m * 3
-
-        def run(params, state, pos_ori, lengths, offset_t, offset_r, carry):
-            window = {
-                "marker_pos": pos_ori[..., :pos_d],
-                "marker_ori": pos_ori[..., pos_d:],
-                "seq_lengths": lengths,
-                "offset_t": offset_t,
-                "offset_r": offset_r,
-            }
-            out, _, new_carry = model.forward(params, state, window, carry, train=False)
-            parts = [out["root_ori_hat"], out["pose_hat"]]
-            if out.get("shape_hat") is not None:
-                parts.append(out["shape_hat"])
-            return jnp.concatenate(parts, axis=-1), new_carry
-
-        self._run = jax.jit(run)
+        self._w_root, self._w_pose = 3, 63  # overwritten at trace time
+        self._run = _make_run(model, self.m * 3, self)
         self.reset()
+
+    @property
+    def offset_t(self) -> np.ndarray:
+        return self._offset_t
+
+    @offset_t.setter
+    def offset_t(self, value: np.ndarray) -> None:
+        self._offset_t = np.asarray(value, np.float32).reshape(1, self.m, 3)
+        self._offsets_dirty = True
+
+    @property
+    def offset_r(self) -> np.ndarray:
+        return self._offset_r
+
+    @offset_r.setter
+    def offset_r(self, value: np.ndarray) -> None:
+        self._offset_r = np.asarray(value, np.float32).reshape(1, self.m, 3, 3)
+        self._offsets_dirty = True
 
     @classmethod
     def from_experiment(cls, model_id, chunk_size: int = 16, **kw) -> "StreamingPredictor":
@@ -88,20 +128,20 @@ class StreamingPredictor:
         pos_ori = jnp.asarray(np.concatenate([pos, ori], axis=-1)[None])
         lengths = self._full_lengths if n_valid == self.chunk \
             else jnp.asarray([n_valid], jnp.int32)
+        if self._offsets_dirty:
+            self._offset_t_dev = jnp.asarray(self._offset_t)
+            self._offset_r_dev = jnp.asarray(self._offset_r)
+            self._offsets_dirty = False
         packed, self.carry = self._run(self.params, self.state, pos_ori, lengths,
                                        self._offset_t_dev, self._offset_r_dev, self.carry)
         packed = np.asarray(packed)[0, :n_valid]  # the ONE download per chunk
-        out = {
-            "root_ori": packed[:, :3],
-            "pose_body": packed[:, 3:66],
-        }
-        shape = packed[:, 66:] if packed.shape[-1] > 66 else None
-        if shape is not None:
+        out = _unpack_rows(self, packed)
+        if "shape" in out:
             if self.first_shape is None:
                 # Shape frozen to the first chunk's estimate, matching the
                 # reference streaming eval (evaluate_real.py:63-68).
-                self.first_shape = shape[0]
-            out["shape"] = np.broadcast_to(self.first_shape, shape.shape)
+                self.first_shape = out["shape"][0]
+            out["shape"] = np.broadcast_to(self.first_shape, out["shape"].shape)
         return out
 
     def push(self, marker_pos: np.ndarray, marker_ori: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
@@ -175,23 +215,8 @@ class MultiStreamPredictor:
         self._offsets_dirty = True
         self._offset_t_dev = None
         self._offset_r_dev = None
-        pos_d = self.m * 3
-
-        def run(params, state, pos_ori, lengths, offset_t, offset_r, carry):
-            window = {
-                "marker_pos": pos_ori[..., :pos_d],
-                "marker_ori": pos_ori[..., pos_d:],
-                "seq_lengths": lengths,
-                "offset_t": offset_t,
-                "offset_r": offset_r,
-            }
-            out, _, new_carry = model.forward(params, state, window, carry, train=False)
-            parts = [out["root_ori_hat"], out["pose_hat"]]
-            if out.get("shape_hat") is not None:
-                parts.append(out["shape_hat"])
-            return jnp.concatenate(parts, axis=-1), new_carry
-
-        self._run = jax.jit(run)
+        self._w_root, self._w_pose = 3, 63  # overwritten at trace time
+        self._run = _make_run(model, self.m * 3, self)
         self.carry = model.initial_carry()
         self._bufs = [([], []) for _ in range(n_streams)]
         self._first_shape: list = [None] * n_streams
@@ -269,13 +294,31 @@ class MultiStreamPredictor:
         outs: Dict[int, Dict[str, np.ndarray]] = {}
         for i in np.nonzero(lengths)[0]:
             rows = packed[i, : lengths[i]]
-            out = {"root_ori": rows[:, :3], "pose_body": rows[:, 3:66]}
-            shape = rows[:, 66:] if rows.shape[-1] > 66 else None
-            if shape is not None:
+            out = _unpack_rows(self, rows)
+            if "shape" in out:
                 if self._first_shape[i] is None:
                     # Frozen to the stream's first chunk, reference
                     # evaluate_real.py:63-68.
-                    self._first_shape[i] = shape[0]
-                out["shape"] = np.broadcast_to(self._first_shape[i], shape.shape)
+                    self._first_shape[i] = out["shape"][0]
+                out["shape"] = np.broadcast_to(self._first_shape[i], out["shape"].shape)
             outs[int(i)] = out
         return outs
+
+    def flush(self, ids) -> Dict[int, Dict[str, np.ndarray]]:
+        """FULLY drain the listed streams' buffers (any number of frames).
+
+        ``step(flush_ids=...)`` serves at most one chunk per stream per call
+        (its one-batched-call contract); this loops it until the listed
+        buffers are empty — e.g. after a multi-frame ``push`` larger than the
+        chunk size — concatenating the per-stream outputs in order.
+        """
+        ids = list(ids)
+        outs: Dict[int, list] = {}
+        while True:
+            got = self.step(flush_ids=[i for i in ids if self.pending(i)])
+            for i, out in got.items():
+                outs.setdefault(i, []).append(out)
+            if not any(self.pending(i) for i in ids):
+                break
+        return {i: {k: np.concatenate([o[k] for o in parts]) for k in parts[0]}
+                for i, parts in outs.items()}

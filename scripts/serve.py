@@ -115,19 +115,25 @@ def main_multi(args):
             continue
         msg = json.loads(line)
         sid = int(msg.get("stream", 0))
+        if not 0 <= sid < args.streams:
+            # Don't let one malformed record kill the server (IndexError) or
+            # alias another stream's session (negative indexing).
+            print(f"serve: dropping record with stream id {sid} "
+                  f"(server runs --streams {args.streams})", file=sys.stderr)
+            continue
         if msg.get("cmd") == "reset":
-            emit(predictor.step(flush_ids=[sid]))
+            emit(predictor.flush([sid]))
             predictor.reset(sid)
             frame_idx[sid] = 0
             continue
         if msg.get("cmd") == "flush":
-            emit(predictor.step(flush_ids=[sid]))
+            emit(predictor.flush([sid]))
             continue
         predictor.push(sid, np.asarray(msg["marker_pos"], np.float32)[None],
                        np.asarray(msg["marker_ori"], np.float32)[None])
         if predictor.pending(sid) >= args.chunk:
             emit(predictor.step())
-    emit(predictor.step(flush_ids=list(range(args.streams))))
+    emit(predictor.flush(range(args.streams)))
 
 
 if __name__ == "__main__":

@@ -154,6 +154,57 @@ def test_multi_stream_idle_streams_untouched(rnn_setup):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_multi_stream_flush_drains_fully(rnn_setup):
+    """flush([i]) drains a buffer LARGER than the chunk size completely —
+    step(flush_ids) alone serves at most one chunk per call."""
+    from empose_tpu.serve import MultiStreamPredictor
+    model, params, state = rnn_setup
+    rng = np.random.RandomState(12)
+    chunk, n = 4, 11  # 2 full chunks + 3-frame tail in one push
+    pos = rng.randn(n, 36).astype(np.float32)
+    ori = rng.randn(n, 108).astype(np.float32)
+
+    multi = MultiStreamPredictor(model, params, state, n_streams=2, chunk_size=chunk)
+    multi.push(0, pos, ori)
+    outs = multi.flush([0])
+    assert multi.pending(0) == 0
+    got = outs[0]["pose_body"]
+    assert got.shape == (n, 63)
+
+    single = StreamingPredictor(model, params, state, chunk_size=chunk)
+    parts = [o for o in [single.push(pos, ori), single.flush()] if o is not None]
+    want = np.concatenate([o["pose_body"] for o in parts])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_streaming_offset_reassignment(rnn_setup):
+    """Reassigning predictor.offset_t/offset_r mid-session takes effect on
+    the next chunk (offsets are device-cached behind a dirty flag)."""
+    model, params, state = _lgd_setup(seed=5)
+    rng = np.random.RandomState(13)
+    chunk = 4
+    pos = rng.randn(2 * chunk, 36).astype(np.float32)
+    ori = rng.randn(2 * chunk, 108).astype(np.float32)
+    new_t = (rng.randn(12, 3) * 0.05).astype(np.float32)
+    new_r = np.broadcast_to(np.eye(3, dtype=np.float32), (12, 3, 3)).copy()
+
+    # Mutated mid-session: default offsets for chunk 1, new ones for chunk 2.
+    a = StreamingPredictor(model, params, state, chunk_size=chunk)
+    out1 = a.push(pos[:chunk], ori[:chunk])
+    a.offset_t = new_t
+    a.offset_r = new_r
+    out2 = a.push(pos[chunk:], ori[chunk:])
+
+    # Control with the same offsets from the start: chunk 2 must match the
+    # mutated predictor (same carry lineage), chunk 1 must NOT (different
+    # offsets there).
+    b = StreamingPredictor(model, params, state, chunk_size=chunk)
+    ref1 = b.push(pos[:chunk], ori[:chunk])
+    np.testing.assert_allclose(out1["pose_body"], ref1["pose_body"], atol=1e-6)
+    assert not np.allclose(out2["pose_body"],
+                           b.push(pos[chunk:], ori[chunk:])["pose_body"], atol=1e-5)
+
+
 def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path):
     """scripts/serve.py --streams N: per-stream records in, per-stream
     records out, interleaved."""
@@ -184,11 +235,20 @@ def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_
                 "stream": sid,
                 "marker_pos": rng.randn(36).astype(float).tolist(),
                 "marker_ori": rng.randn(108).astype(float).tolist()}))
+    # Out-of-range stream ids must be dropped with a warning, not crash the
+    # server (positive overflow) or alias stream S-1 (negative indexing).
+    for sid in (-1, 2):
+        lines.append(json.dumps({
+            "stream": sid,
+            "marker_pos": rng.randn(36).astype(float).tolist(),
+            "marker_ori": rng.randn(108).astype(float).tolist()}))
     monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
 
     from scripts.serve import main as serve_main
     serve_main(argparse.Namespace(model_id="700001", chunk=4, streams=2))
-    out_lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    captured = capsys.readouterr()
+    assert captured.err.count("dropping record") == 2
+    out_lines = [json.loads(l) for l in captured.out.strip().splitlines()
                  if l.startswith("{")]
     by_stream = {}
     for rec in out_lines:
