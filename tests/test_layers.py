@@ -157,7 +157,7 @@ def test_nn_precision_knob():
         L.set_nn_precision("highest")
     assert L._HI == jax.lax.Precision.HIGHEST
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="unknown precision"):
         L.set_nn_precision("float16")
 
 
