@@ -202,13 +202,32 @@ class MultiStreamPredictor:
     """
 
     def __init__(self, model, params, state, n_streams: int, chunk_size: int = 16,
-                 n_raw_markers: int = 12):
+                 n_raw_markers: int = 12, mesh=None):
+        """:param mesh: optional ``jax.sharding.Mesh`` — shards the STREAM
+        axis over its devices (pure DP, same pattern as training:
+        parallel/mesh.py). Parameters/state are replicated once here; the
+        per-step upload is device_put with the stream axis sharded, and XLA
+        propagates that sharding through the whole program, so one serving
+        host drives a full ICI slice. Requires ``n_streams`` divisible by
+        the mesh size (streams are live sessions — no wrap-around padding)."""
         self.model = model
-        self.params = params
-        self.state = state
         self.S = n_streams
         self.chunk = chunk_size
         self.m = n_raw_markers
+        self.mesh = mesh
+        if mesh is not None:
+            from empose_tpu.parallel.mesh import batch_sharding, replicate
+            n_dev = int(np.prod(mesh.devices.shape))
+            if n_streams % n_dev:
+                raise ValueError(
+                    f"n_streams={n_streams} must be divisible by the mesh "
+                    f"size {n_dev} (streams are live sessions and cannot be "
+                    f"wrap-around padded)")
+            self._stream_sharding = batch_sharding(mesh)
+            params = replicate(params, mesh)
+            state = replicate(state, mesh)
+        self.params = params
+        self.state = state
         self._offset_t = np.zeros((n_streams, self.m, 3), np.float32)
         self._offset_r = np.broadcast_to(
             np.eye(3, dtype=np.float32), (n_streams, self.m, 3, 3)).copy()
@@ -282,12 +301,14 @@ class MultiStreamPredictor:
         if not lengths.any():
             return {}
 
+        put = (lambda x: jax.device_put(x, self._stream_sharding)) \
+            if self.mesh is not None else jnp.asarray
         if self._offsets_dirty:
-            self._offset_t_dev = jnp.asarray(self._offset_t)
-            self._offset_r_dev = jnp.asarray(self._offset_r)
+            self._offset_t_dev = put(self._offset_t)
+            self._offset_r_dev = put(self._offset_r)
             self._offsets_dirty = False
         packed, self.carry = self._run(
-            self.params, self.state, jnp.asarray(packed_in), jnp.asarray(lengths),
+            self.params, self.state, put(packed_in), put(lengths),
             self._offset_t_dev, self._offset_r_dev, self.carry)
         packed = np.asarray(packed)  # the ONE download for all streams
 

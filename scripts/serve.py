@@ -93,8 +93,12 @@ def main_multi(args):
     import numpy as np
     from empose_tpu.serve import MultiStreamPredictor
 
+    mesh = None
+    if getattr(args, "dp_devices", 1) > 1:
+        from empose_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.dp_devices)
     predictor = MultiStreamPredictor.from_experiment(
-        args.model_id, n_streams=args.streams, chunk_size=args.chunk)
+        args.model_id, n_streams=args.streams, chunk_size=args.chunk, mesh=mesh)
     frame_idx = [0] * args.streams
 
     def emit(outs):
@@ -142,6 +146,9 @@ if __name__ == "__main__":
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--streams", type=int, default=1,
                    help="Serve N independent sessions batched into one device call.")
+    p.add_argument("--dp_devices", type=int, default=1,
+                   help="Shard the stream axis over this many devices (DP "
+                        "mesh over ICI); --streams must be divisible by it.")
     p.add_argument("--precision", choices=("highest", "default"), default="highest",
                    help="Matmul precision: 'highest' = torch-parity f32 on the MXU; "
                         "'default' = bf16-input serving mode (validated sub-0.04mm "

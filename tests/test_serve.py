@@ -205,6 +205,54 @@ def test_streaming_offset_reassignment(rnn_setup):
                            b.push(pos[chunk:], ori[chunk:])["pose_body"], atol=1e-5)
 
 
+def test_multi_stream_mesh_sharded(rnn_setup):
+    """MultiStreamPredictor over an 8-device DP mesh == unsharded, stream
+    for stream — the serving-side extension of the training DP story."""
+    from empose_tpu.parallel import mesh as M
+    from empose_tpu.serve import MultiStreamPredictor
+    model, params, state = _lgd_setup(seed=6)
+    rng = np.random.RandomState(14)
+    S, chunk, rounds = 8, 4, 3
+    feeds = [(rng.randn(rounds * chunk, 36).astype(np.float32),
+              rng.randn(rounds * chunk, 108).astype(np.float32)) for _ in range(S)]
+
+    mesh = M.make_mesh(8)
+    sharded = MultiStreamPredictor(model, params, state, n_streams=S,
+                                   chunk_size=chunk, mesh=mesh)
+    plain = MultiStreamPredictor(model, params, state, n_streams=S, chunk_size=chunk)
+
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamPredictor(model, params, state, n_streams=S + 1,
+                             chunk_size=chunk, mesh=mesh)
+
+    for r in range(rounds):
+        for i in range(S):
+            pos = feeds[i][0][r * chunk:(r + 1) * chunk]
+            ori = feeds[i][1][r * chunk:(r + 1) * chunk]
+            sharded.push(i, pos, ori)
+            plain.push(i, pos, ori)
+        got, want = sharded.step(), plain.step()
+        assert set(got) == set(want) == set(range(S))
+        for i in range(S):
+            np.testing.assert_allclose(got[i]["pose_body"], want[i]["pose_body"],
+                                       atol=1e-5, err_msg=f"round {r} stream {i}")
+        if r == 0:
+            # The carry really lives sharded across the mesh.
+            leaf = jax.tree_util.tree_leaves(sharded.carry)[0]
+            assert len(leaf.sharding.device_set) == 8
+
+    # Mid-session reset of one stream propagates through the sharded carry.
+    sharded.reset(3)
+    plain.reset(3)
+    for i in range(S):
+        sharded.push(i, feeds[i][0][:chunk], feeds[i][1][:chunk])
+        plain.push(i, feeds[i][0][:chunk], feeds[i][1][:chunk])
+    got, want = sharded.step(), plain.step()
+    for i in range(S):
+        np.testing.assert_allclose(got[i]["pose_body"], want[i]["pose_body"],
+                                   atol=1e-5, err_msg=f"post-reset stream {i}")
+
+
 def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path):
     """scripts/serve.py --streams N: per-stream records in, per-stream
     records out, interleaved."""
@@ -245,7 +293,10 @@ def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_
     monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
 
     from scripts.serve import main as serve_main
-    serve_main(argparse.Namespace(model_id="700001", chunk=4, streams=2))
+    # dp_devices=2: the CLI builds a 2-device DP mesh on the virtual CPU
+    # devices (the unsharded CLI path is covered by the precision-flag test).
+    serve_main(argparse.Namespace(model_id="700001", chunk=4, streams=2,
+                                  dp_devices=2))
     captured = capsys.readouterr()
     assert captured.err.count("dropping record") == 2
     out_lines = [json.loads(l) for l in captured.out.strip().splitlines()
