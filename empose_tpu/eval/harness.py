@@ -161,12 +161,16 @@ def load_model(model_id, experiment_dir: Optional[str] = None):
 
     ckpt_file = os.path.join(model_dir, "model.pth")
     native_ckpt = os.path.join(model_dir, "checkpoint_model")
-    if os.path.exists(ckpt_file):
-        sd = load_state_dict(ckpt_file)
-        params, state = convert_model(sd, config)
-    elif os.path.isdir(native_ckpt):
+    # The NATIVE checkpoint wins when both exist: it is the live training
+    # artifact, while a model.pth next to it is a torch-interop snapshot
+    # (tools/export_torch.py) that would otherwise silently shadow later
+    # training progress. Torch-imported experiments have only model.pth.
+    if os.path.isdir(native_ckpt):
         from empose_tpu.checkpoint.native import restore_params_state
         params, state = restore_params_state(native_ckpt, model)
+    elif os.path.exists(ckpt_file):
+        sd = load_state_dict(ckpt_file)
+        params, state = convert_model(sd, config)
     else:
         raise FileNotFoundError(f"No model.pth or native checkpoint_model in {model_dir}")
 

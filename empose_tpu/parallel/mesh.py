@@ -26,7 +26,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devices = np.asarray(jax.devices())
     if n_devices is not None:
-        assert len(devices) >= n_devices, f"need {n_devices} devices, have {len(devices)}"
+        if len(devices) < n_devices:  # a real error, not an assert: this is
+            raise ValueError(         # reachable from user CLIs (--dp_devices)
+                f"need {n_devices} devices, have {len(devices)}: {jax.devices()}")
         devices = devices[:n_devices]
     return Mesh(devices, (axis,))
 

@@ -217,7 +217,7 @@ class MultiStreamPredictor:
         self.mesh = mesh
         if mesh is not None:
             from empose_tpu.parallel.mesh import batch_sharding, replicate
-            n_dev = int(np.prod(mesh.devices.shape))
+            n_dev = mesh.size
             if n_streams % n_dev:
                 raise ValueError(
                     f"n_streams={n_streams} must be divisible by the mesh "

@@ -47,6 +47,10 @@ def main(args):
     _set_precision(args)
     if getattr(args, "streams", 1) > 1:
         return main_multi(args)
+    if getattr(args, "dp_devices", 1) > 1:
+        raise SystemExit("--dp_devices shards the STREAM axis and requires "
+                         "--streams > 1 (single-session serving is one row; "
+                         "there is nothing to shard).")
     from empose_tpu.serve import StreamingPredictor
 
     predictor = StreamingPredictor.from_experiment(args.model_id, chunk_size=args.chunk)

@@ -156,11 +156,13 @@ def test_nn_precision_knob():
     finally:
         L.set_nn_precision("highest")
     assert L._HI == jax.lax.Precision.HIGHEST
-    # bf16-safe bound: on CPU the two modes are bit-identical, but on a real
-    # TPU (EMPOSE_TEST_PLATFORM=axon) DEFAULT genuinely runs bf16-input
-    # GEMMs — O(1) activations then differ at the bf16 mantissa scale, which
-    # is the knob working, not a bug. Wrong weights would differ at O(1).
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-2)
+    # On CPU (the routine CI platform) the two modes are bit-identical, so
+    # the bound stays tight there. On a real TPU (EMPOSE_TEST_PLATFORM=axon)
+    # DEFAULT genuinely runs bf16-input GEMMs — O(1) activations then differ
+    # at the bf16 mantissa scale, which is the knob working, not a bug.
+    import os
+    tol = 5e-2 if os.environ.get("EMPOSE_TEST_PLATFORM") == "axon" else 1e-6
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=tol)
     with pytest.raises(ValueError, match="unknown precision"):
         L.set_nn_precision("float16")
 

@@ -253,9 +253,11 @@ def test_multi_stream_mesh_sharded(rnn_setup):
                                    atol=1e-5, err_msg=f"post-reset stream {i}")
 
 
-def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path):
+@pytest.mark.parametrize("dp_devices", [1, 2])
+def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path,
+                                dp_devices):
     """scripts/serve.py --streams N: per-stream records in, per-stream
-    records out, interleaved."""
+    records out, interleaved — unsharded and over a 2-device DP mesh."""
     import io
     import json
     import argparse
@@ -293,10 +295,8 @@ def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_
     monkeypatch.setattr("sys.stdin", io.StringIO("\n".join(lines) + "\n"))
 
     from scripts.serve import main as serve_main
-    # dp_devices=2: the CLI builds a 2-device DP mesh on the virtual CPU
-    # devices (the unsharded CLI path is covered by the precision-flag test).
     serve_main(argparse.Namespace(model_id="700001", chunk=4, streams=2,
-                                  dp_devices=2))
+                                  dp_devices=dp_devices))
     captured = capsys.readouterr()
     assert captured.err.count("dropping record") == 2
     out_lines = [json.loads(l) for l in captured.out.strip().splitlines()

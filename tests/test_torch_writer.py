@@ -47,6 +47,42 @@ def test_export_roundtrip_all_released_variants(kind, n_markers, tmp_path):
                 err_msg=f"{what}{jax.tree_util.keystr(key)}")
 
 
+def test_native_checkpoint_wins_over_exported_pth(tmp_path, assets_env, monkeypatch):
+    """When an experiment has BOTH a native checkpoint and an exported
+    model.pth, load_model uses the native one — an interop snapshot must not
+    shadow later training progress."""
+    from empose_tpu.checkpoint.native import save_params_state
+    from empose_tpu.eval.harness import load_model
+
+    cfg = small_variant_config("rnn", 12)
+    model, _ = GE._build_model(cfg)
+    params_old, state_old = model.init(jax.random.PRNGKey(0))
+    params_new, state_new = model.init(jax.random.PRNGKey(1))
+
+    exp = tmp_path / "experiments" / "880001-RNN-test"
+    os.makedirs(exp)
+    cfg.to_json(str(exp / "config.json"))
+    # Exported snapshot at "step N" ...
+    save_torch_checkpoint(str(exp / "model.pth"), params_old, state_old, cfg)
+    # ... then training advances the native checkpoint.
+    save_params_state(str(exp / "checkpoint_model"), params_new, state_new)
+    monkeypatch.setenv("EM_EXPERIMENTS", str(tmp_path / "experiments"))
+
+    _, params, _, _, _, _ = load_model("880001")
+    leaf_new = jax.tree_util.tree_leaves(params_new)[0]
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    np.testing.assert_array_equal(np.asarray(leaf), np.asarray(leaf_new))
+
+
+def test_dp_devices_requires_multi_stream():
+    """--dp_devices with a single stream is a user error, not a silent no-op."""
+    import argparse
+    from scripts.serve import main as serve_main
+    with pytest.raises(SystemExit, match="streams"):
+        serve_main(argparse.Namespace(model_id="whatever", chunk=4, streams=1,
+                                      dp_devices=8))
+
+
 def test_exported_pth_loads_into_torch_model(tmp_path):
     """A torch user consumes the export with strict load_state_dict and gets
     the same forward outputs as the JAX model."""
