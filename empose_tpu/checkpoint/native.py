@@ -43,7 +43,11 @@ def restore_params_state(path: str, model) -> Tuple[Any, Any]:
     save_params_state). Inference-side loading doesn't know the
     optimizer-state structure, so trainers write this slim checkpoint next to
     the full train state."""
-    template_params, template_state = model.init(jax.random.PRNGKey(0))
+    # eval_shape: the restore template only needs structure/shapes/dtypes,
+    # so skip computing an actual init (on a tunneled device an eager init
+    # is hundreds of dispatch round-trips; even jitted it is a compile).
+    template_params, template_state = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0))
     template = {"params": template_params, "state": template_state}
     restored = restore_train_state(path, template)
     return restored["params"], restored["state"]

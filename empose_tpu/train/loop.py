@@ -51,7 +51,10 @@ class Trainer:
         self.match_reference_grads = match_reference_grads
 
         k_init, self.rng_key = jax.random.split(self.rng_key)
-        self.params, self.state = self.model.init(k_init)
+        # Jitted init: one XLA program instead of hundreds of eager PRNG
+        # dispatches (each a tunnel round-trip on a remote device); params
+        # are bitwise-identical to the eager init.
+        self.params, self.state = jax.jit(self.model.init)(k_init)
         self.opt = optax.adam(config.lr)
         self.opt_state = self.opt.init(self.params)
         self.global_step = 0
