@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(args):
     from empose_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+    prec = getattr(args, "precision", "highest")
+    if prec != "highest":
+        # Same opt-in bf16 mode as scripts/serve.py --precision (accuracy
+        # measured end-to-end, README); binds before the session's traces.
+        from empose_tpu.nn.layers import set_nn_precision
+        from empose_tpu.ops.fk_lanes import set_fk_precision
+        set_nn_precision(prec)
+        set_fk_precision(prec)
     from empose_tpu import constants as C
     from empose_tpu.data.datasets import RealDataset, Loader
     from empose_tpu.data.batches import collate_real
@@ -64,6 +72,10 @@ if __name__ == "__main__":
                         "marker is suppressed (robustness study).")
     p.add_argument("--suppression_markers", type=int, default=1,
                    help="How many markers are suppressed at a time.")
+    p.add_argument("--precision", choices=("highest", "default"), default="highest",
+                   help="Matmul precision: 'highest' = torch-parity f32 (the "
+                        "Table-2 mode); 'default' = bf16-input fast mode "
+                        "(measured sub-0.04mm MPJPE shift, see README).")
     p.add_argument("--visualize", type=int, default=-1,
                    help="Dump skeleton/mesh artifacts (npz + OBJ) for the sequence with "
                         "this index into <model_dir>/visualize/ (the reference's flag "

@@ -83,6 +83,18 @@ def test_evaluate_real_cli(assets_env, trained_dir, monkeypatch):
     assert overall["MPJPE [mm]"] > 0
     assert np.isfinite(overall["MPJPE [mm]"])
 
+    # --precision default (bf16 fast mode): identical on the CPU mesh, and
+    # the knobs must be restorable afterward.
+    from empose_tpu.nn import layers as L
+    from empose_tpu.ops import fk_lanes as FK
+    try:
+        fast = eval_main(argparse.Namespace(model_id="111000", cross_subject=False,
+                                            window_size=None, precision="default"))
+    finally:
+        L.set_nn_precision("highest")
+        FK.set_fk_precision("highest")
+    assert abs(fast["MPJPE [mm]"] - overall["MPJPE [mm]"]) < 1e-6
+
 
 def test_evaluate_real_visualize_artifacts(assets_env, trained_dir, monkeypatch):
     """--visualize N writes npz + OBJ artifacts (the reference only prints
