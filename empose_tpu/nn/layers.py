@@ -448,6 +448,48 @@ def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
     return outs, (hF, cF)
 
 
+# Weight-resident Pallas kernel for unidirectional stacks (inference only:
+# pallas_call has no VJP here; training keeps the scan/wavefront paths).
+# Measured on a v5e chip (released 2x512 stack, F=256): batch 64 the kernel
+# runs 4.6 ms vs 7.8 ms wavefront / 9.8 ms layer-scan; batch 8 it ties the
+# scan (~2.9 ms — the serial recurrence is latency-bound there, confirmed by
+# two independent implementations hitting the same per-step floor), so the
+# gate keeps it off below EMPOSE_LSTM_KERNEL_MIN_BATCH. "interpret" runs it
+# in Pallas interpreter mode (CPU tests). EMPOSE_LSTM_KERNEL=0 disables.
+LSTM_KERNEL = _os.environ.get("EMPOSE_LSTM_KERNEL", "1")
+LSTM_KERNEL_MIN_BATCH = int(_os.environ.get("EMPOSE_LSTM_KERNEL_MIN_BATCH", "16"))
+_LSTM_KERNEL_SUSPENDED = False
+
+
+class lstm_kernel_disabled:
+    """Trace-time opt-out (e.g. the DP-sharded serving path: an
+    unpartitioned pallas_call under GSPMD would force replication). Use
+    around the call that TRACES the forward — the choice binds then."""
+
+    def __enter__(self):
+        global _LSTM_KERNEL_SUSPENDED
+        self._prev = _LSTM_KERNEL_SUSPENDED
+        _LSTM_KERNEL_SUSPENDED = True
+
+    def __exit__(self, *exc):
+        global _LSTM_KERNEL_SUSPENDED
+        _LSTM_KERNEL_SUSPENDED = self._prev
+
+
+def _lstm_kernel_wanted(n: int, num_layers: int, hidden: int) -> bool:
+    if LSTM_KERNEL == "0" or _LSTM_KERNEL_SUSPENDED:
+        return False
+    if n < LSTM_KERNEL_MIN_BATCH:
+        return False
+    from empose_tpu.ops.lstm_kernel import fits_vmem
+    if not fits_vmem(num_layers, hidden):
+        return False
+    if LSTM_KERNEL == "interpret":
+        return True
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
+
+
 # Wavefront (software-pipelined) schedule for unidirectional LSTM stacks.
 # Running L layers sequentially costs L*F serial cell steps; in the wavefront
 # schedule layer l processes time t-l at global step t, so all L cells inside
@@ -526,7 +568,8 @@ def _reverse_by_length(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 
 def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
-               init_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+               init_state: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+               inference: bool = False):
     """Multi-layer (bi)LSTM over a padded batch.
 
     :param x: (N, F, I) batch-first input.
@@ -552,6 +595,16 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
         c0_all = h0_all
     else:
         h0_all, c0_all = init_state
+
+    if not bidirectional and inference and _lstm_kernel_wanted(n, len(layers), hidden):
+        # Weight-resident Pallas kernel: the whole recurrence in one program
+        # (inference only — no VJP; see the gate notes above).
+        from empose_tpu.ops.lstm_kernel import lstm_stack_pallas
+        cells = [layer["fwd"] for layer in layers]
+        outs, (hF, cF) = lstm_stack_pallas(
+            cells, xt, mask, h0_all, c0_all, precision=_HI,
+            interpret=LSTM_KERNEL == "interpret")
+        return jnp.swapaxes(outs, 0, 1), (hF, cF)
 
     if not bidirectional and len(layers) > 1 and LSTM_PIPELINE and n >= LSTM_PIPELINE_MIN_BATCH:
         # Wavefront schedule: critical path F+L-1 cell steps instead of F*L,
@@ -626,7 +679,8 @@ def rnn_layer_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
         h0 = jnp.swapaxes(h0, 0, 1)
         # Reference passes (c0, h0) into torch's (h_0, c_0) slots.
         init_state = (c0, h0)
-    out, final_state = lstm_apply(params["lstm"], x, lengths, init_state)
+    out, final_state = lstm_apply(params["lstm"], x, lengths, init_state,
+                                  inference=not train)
     if "to_out" in params:
         out = linear_apply(params["to_out"], out)
     return out, final_state

@@ -1,0 +1,188 @@
+"""Weight-resident LSTM stack kernel (Pallas/TPU) + parity with the scan.
+
+The latency wall of the flagship LGD-RNN forward is the init-RNN's serial
+time scan (reference layers.py:146-153 runs the same recurrence in cuDNN).
+Under ``lax.scan`` XLA re-streams every layer's gate weights from HBM on
+every timestep: for the released 2x512 stack that is ~12 MB x 256 steps
+~= 3 GB of HBM traffic — which at chip bandwidth is almost exactly the
+measured ~4.4 ms scan time. The recurrence itself is tiny; the scan is
+weight-reload-bound.
+
+This kernel runs the WHOLE unidirectional stack recurrence in ONE Pallas
+program: gate weights live in VMEM for all F steps (loaded once), the
+running (h, c) carries live in the kernel's output blocks (constant index
+map -> VMEM-resident until the grid ends), and only the hoisted layer-0
+input projection x0_proj (one big MXU GEMM, computed outside) streams
+through per-step grid blocks, auto-double-buffered by Pallas.
+
+Semantics are identical to ``nn.layers._lstm_cell_scan`` applied layer by
+layer: same gate order (i, f, g, o), same masked state freeze, same
+zeroed outputs at padded steps, interleaved time-major instead of
+layer-major — the same dataflow, cell for cell.
+
+VMEM budget: (2L-1) weight matrices of (H, 4H) f32 + the streamed blocks.
+For the released 2x512 stack that is ~12 MB (< ~16 MB/core); callers gate
+on :func:`fits_vmem`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Leave headroom for the streamed/output blocks and double buffering.
+_VMEM_WEIGHT_BUDGET = 13 * 1024 * 1024
+
+
+def fits_vmem(num_layers: int, hidden: int) -> bool:
+    weight_bytes = (2 * num_layers - 1) * hidden * 4 * hidden * 4
+    return weight_bytes <= _VMEM_WEIGHT_BUDGET
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _make_kernel(num_layers: int, hidden: int, precision):
+    """Kernel body for a fixed (static) layer count.
+
+    Ref order: x0_proj block, mask block, w_hh_all, [w_ih_up, b_up,]
+    h0s, c0s, then outputs outs block, hF, cF.
+    """
+
+    def kernel(x0_ref, m_ref, w_hh_ref, *rest):
+        if num_layers > 1:
+            w_up_ref, b_up_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
+        else:
+            h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = h0_ref[:]
+            cf_ref[:] = c0_ref[:]
+
+        m = m_ref[0]  # (N, 1): 1.0 where this step is a valid frame
+        prev_out = None
+        for l in range(num_layers):
+            if l == 0:
+                x_in = x0_ref[0]  # (N, 4H), bias already folded in
+            else:
+                x_in = jnp.dot(prev_out, w_up_ref[l - 1],
+                               preferred_element_type=jnp.float32,
+                               precision=precision) + b_up_ref[l - 1]
+            h, c = hf_ref[l], cf_ref[l]
+            gates = x_in + jnp.dot(h, w_hh_ref[l],
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+            i = _sigmoid(gates[:, :hidden])
+            f = _sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = _sigmoid(gates[:, 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            hf_ref[l] = jnp.where(m > 0, h_new, h)
+            cf_ref[l] = jnp.where(m > 0, c_new, c)
+            prev_out = h_new * m
+        out_ref[0] = prev_out
+
+    return kernel
+
+
+try:  # import at module level so _make_kernel sees them
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover - pallas ships with jax
+    _PALLAS_OK = False
+
+
+@partial(jax.jit, static_argnames=("num_layers", "hidden", "interpret", "precision"))
+def _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
+         *, num_layers: int, hidden: int, interpret: bool, precision):
+    f, n = x0_proj.shape[0], x0_proj.shape[1]
+    kernel = _make_kernel(num_layers, hidden, precision)
+
+    in_specs = [
+        pl.BlockSpec((1, n, 4 * hidden), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, hidden, 4 * hidden), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x0_proj, mask_col, w_hh_all]
+    if num_layers > 1:
+        in_specs += [
+            pl.BlockSpec((num_layers - 1, hidden, 4 * hidden),
+                         lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers - 1, 1, 4 * hidden),
+                         lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [w_ih_up, b_up]
+    in_specs += [
+        pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [h0s, c0s]
+
+    outs, hF, cF = pl.pallas_call(
+        kernel,
+        grid=(f,),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, n, hidden), x0_proj.dtype),
+            jax.ShapeDtypeStruct((num_layers, n, hidden), x0_proj.dtype),
+            jax.ShapeDtypeStruct((num_layers, n, hidden), x0_proj.dtype),
+        ),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, n, hidden), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Constant index map: the carry blocks stay VMEM-resident for
+            # the whole grid and are flushed once at the end.
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(*args)
+    return outs, hF, cF
+
+
+def lstm_stack_pallas(cells: List[dict], x: jnp.ndarray, mask: jnp.ndarray,
+                      h0s: jnp.ndarray, c0s: jnp.ndarray, *,
+                      precision=lax.Precision.HIGHEST,
+                      interpret: bool = False):
+    """Weight-resident forward of a unidirectional LSTM stack.
+
+    Same contract as ``nn.layers._lstm_stack_scan_wavefront``:
+    :param cells: L cell dicts (w_ih, w_hh, b_ih, b_hh), layer 0 input I,
+      deeper layers input H.
+    :param x: (F, N, I); :param mask: (F, N); :param h0s/c0s: (L, N, H).
+    :return: (outputs (F, N, H) of the last layer, (hF, cF) each (L, N, H)).
+    """
+    L_n = len(cells)
+    hidden = cells[0]["w_hh"].shape[0]
+    # Layer 0's input projection for ALL timesteps: one big MXU GEMM with
+    # both biases folded in (identical to _lstm_cell_scan's hoisting).
+    x0_proj = jnp.matmul(x, cells[0]["w_ih"], precision=precision) \
+        + cells[0]["b_ih"] + cells[0]["b_hh"]
+    mask_col = mask[:, :, None].astype(x.dtype)
+    w_hh_all = jnp.stack([c["w_hh"] for c in cells])
+    if L_n > 1:
+        w_ih_up = jnp.stack([cells[l]["w_ih"] for l in range(1, L_n)])
+        b_up = jnp.stack([(cells[l]["b_ih"] + cells[l]["b_hh"])[None]
+                          for l in range(1, L_n)])
+    else:
+        w_ih_up = b_up = None
+    outs, hF, cF = _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
+                        num_layers=L_n, hidden=hidden, interpret=interpret,
+                        precision=precision)
+    return outs, (hF, cF)

@@ -307,9 +307,21 @@ class MultiStreamPredictor:
             self._offset_t_dev = put(self._offset_t)
             self._offset_r_dev = put(self._offset_r)
             self._offsets_dirty = False
-        packed, self.carry = self._run(
-            self.params, self.state, put(packed_in), put(lengths),
-            self._offset_t_dev, self._offset_r_dev, self.carry)
+        if self.mesh is not None:
+            # The weight-resident LSTM kernel has no GSPMD partitioning
+            # rule; under a sharded trace it would force replication. The
+            # wavefront/scan paths partition cleanly — bind those instead
+            # (the choice binds at trace time, hence the guard on every
+            # call: only the first one traces).
+            from empose_tpu.nn.layers import lstm_kernel_disabled
+            with lstm_kernel_disabled():
+                packed, self.carry = self._run(
+                    self.params, self.state, put(packed_in), put(lengths),
+                    self._offset_t_dev, self._offset_r_dev, self.carry)
+        else:
+            packed, self.carry = self._run(
+                self.params, self.state, put(packed_in), put(lengths),
+                self._offset_t_dev, self._offset_r_dev, self.carry)
         packed = np.asarray(packed)  # the ONE download for all streams
 
         outs: Dict[int, Dict[str, np.ndarray]] = {}
