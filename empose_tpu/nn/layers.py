@@ -462,9 +462,10 @@ _LSTM_KERNEL_SUSPENDED = False
 
 
 class lstm_kernel_disabled:
-    """Trace-time opt-out (e.g. the DP-sharded serving path: an
-    unpartitioned pallas_call under GSPMD would force replication). Use
-    around the call that TRACES the forward — the choice binds then."""
+    """Trace-time opt-out (e.g. a DP-sharded serving trace whose per-device
+    batch is below the gate — the kernel's custom_partitioning rule runs it
+    per shard, so the PER-DEVICE batch is what matters there). Use around
+    the call that TRACES the forward — the choice binds then."""
 
     def __enter__(self):
         global _LSTM_KERNEL_SUSPENDED

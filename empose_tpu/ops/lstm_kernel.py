@@ -27,7 +27,7 @@ on :func:`fits_vmem`.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import jax
@@ -102,9 +102,8 @@ except Exception:  # pragma: no cover - pallas ships with jax
     _PALLAS_OK = False
 
 
-@partial(jax.jit, static_argnames=("num_layers", "hidden", "interpret", "precision"))
-def _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
-         *, num_layers: int, hidden: int, interpret: bool, precision):
+def _pallas_forward(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
+                    *, num_layers: int, hidden: int, interpret: bool, precision):
     f, n = x0_proj.shape[0], x0_proj.shape[1]
     kernel = _make_kernel(num_layers, hidden, precision)
 
@@ -154,6 +153,72 @@ def _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
         interpret=interpret,
     )(*args)
     return outs, hF, cF
+
+
+# ---------------------------------------------------------------------------
+# GSPMD integration: under a sharded trace (e.g. the DP multi-stream serving
+# path, serve.py) an unannotated pallas_call would force full replication.
+# custom_partitioning declares the kernel batch-parallel over the N axis —
+# each device runs the whole-stack recurrence on its batch shard, which is
+# exactly the DP semantics of the scan path it replaces.
+
+def _batch_axis(arg_shapes):
+    """The mesh axis the batch (dim 1 of x0_proj) is sharded over, if any."""
+    spec = arg_shapes[0].sharding.spec
+    return spec[1] if len(spec) > 1 else None
+
+
+@lru_cache(maxsize=None)
+def _partitioned_run(num_layers: int, hidden: int, interpret: bool, precision):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    has_up = num_layers > 1
+    run = partial(_pallas_forward, num_layers=num_layers, hidden=hidden,
+                  interpret=interpret, precision=precision)
+
+    if has_up:
+        def impl(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s):
+            return run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s)
+        # x0_proj, mask, w_hh, w_ih_up, b_up, h0s, c0s -> outs, hF, cF.
+        # Only the batch factor n is shared across the per-step tensors; the
+        # weight stacks carry distinct factors so nothing propagates onto them.
+        rule = ("f n g, f n u, l h g, m i j, m v k, l n h, l n h "
+                "-> f n h, l n h, l n h")
+        weight_args = (2, 3, 4)
+    else:
+        def impl(x0_proj, mask_col, w_hh_all, h0s, c0s):
+            return run(x0_proj, mask_col, w_hh_all, None, None, h0s, c0s)
+        rule = "f n g, f n u, l h g, l n h, l n h -> f n h, l n h, l n h"
+        weight_args = (2,)
+
+    fcp = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        bsh = NamedSharding(mesh, P(None, batch, None))
+        rep = NamedSharding(mesh, P())
+        arg_shardings = tuple(
+            rep if i in weight_args else bsh for i in range(len(arg_shapes)))
+        return mesh, impl, (bsh, bsh, bsh), arg_shardings
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        bsh = NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
+        return (bsh, bsh, bsh)
+
+    fcp.def_partition(partition=partition,
+                      infer_sharding_from_operands=infer_sharding_from_operands,
+                      sharding_rule=rule)
+    return fcp
+
+
+@partial(jax.jit, static_argnames=("num_layers", "hidden", "interpret", "precision"))
+def _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
+         *, num_layers: int, hidden: int, interpret: bool, precision):
+    fcp = _partitioned_run(num_layers, hidden, interpret, precision)
+    if num_layers > 1:
+        return fcp(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s)
+    return fcp(x0_proj, mask_col, w_hh_all, h0s, c0s)
 
 
 def lstm_stack_pallas(cells: List[dict], x: jnp.ndarray, mask: jnp.ndarray,

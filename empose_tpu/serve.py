@@ -226,6 +226,10 @@ class MultiStreamPredictor:
             self._stream_sharding = batch_sharding(mesh)
             params = replicate(params, mesh)
             state = replicate(state, mesh)
+            from empose_tpu.nn.layers import LSTM_KERNEL_MIN_BATCH
+            self._kernel_ok_sharded = (n_streams // n_dev) >= LSTM_KERNEL_MIN_BATCH
+        else:
+            self._kernel_ok_sharded = True  # lstm_apply's own gate decides
         self.params = params
         self.state = state
         self._offset_t = np.zeros((n_streams, self.m, 3), np.float32)
@@ -307,12 +311,12 @@ class MultiStreamPredictor:
             self._offset_t_dev = put(self._offset_t)
             self._offset_r_dev = put(self._offset_r)
             self._offsets_dirty = False
-        if self.mesh is not None:
-            # The weight-resident LSTM kernel has no GSPMD partitioning
-            # rule; under a sharded trace it would force replication. The
-            # wavefront/scan paths partition cleanly — bind those instead
-            # (the choice binds at trace time, hence the guard on every
-            # call: only the first one traces).
+        if self.mesh is not None and not self._kernel_ok_sharded:
+            # The weight-resident LSTM kernel is gated on PER-DEVICE batch
+            # (its custom_partitioning rule runs it on each device's stream
+            # shard); below the gate the wavefront/scan paths are faster —
+            # bind those instead (the choice binds at trace time, hence the
+            # guard on every call: only the first one traces).
             from empose_tpu.nn.layers import lstm_kernel_disabled
             with lstm_kernel_disabled():
                 packed, self.carry = self._run(

@@ -48,6 +48,44 @@ def test_kernel_matches_scan(num_layers):
     np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
 
 
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_kernel_batch_sharded(num_layers):
+    """The custom_partitioning rule: batch-sharded inputs give the same
+    numbers as the unsharded kernel, and the batch sharding survives to the
+    outputs (no forced replication — each device runs its own shard)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+
+    rng = np.random.RandomState(7)
+    f, n, i, h = 6, 4 * len(devs), 10, 128
+    params = L.lstm_init(jax.random.PRNGKey(5), i, h, num_layers)
+    cells = [layer["fwd"] for layer in params["layers"]]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, f + 1, size=n))
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+
+    ref_out, (ref_h, ref_c) = lstm_stack_pallas(cells, x, mask, h0, c0,
+                                                interpret=True)
+
+    bsh = NamedSharding(mesh, P(None, "data"))
+    xs = jax.device_put(x, bsh)
+    ms = jax.device_put(mask, bsh)
+    h0s = jax.device_put(h0, NamedSharding(mesh, P(None, "data", None)))
+    c0s = jax.device_put(c0, NamedSharding(mesh, P(None, "data", None)))
+    out, (hF, cF) = lstm_stack_pallas(cells, xs, ms, h0s, c0s, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
+    assert "data" in str(out.sharding.spec), out.sharding
+
+
 def test_lstm_apply_kernel_gate(monkeypatch):
     """lstm_apply binds the kernel path only for inference at batch >= the
     gate, and the result matches the scan path exactly."""

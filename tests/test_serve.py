@@ -253,6 +253,45 @@ def test_multi_stream_mesh_sharded(rnn_setup):
                                    atol=1e-5, err_msg=f"post-reset stream {i}")
 
 
+def test_multi_stream_mesh_lstm_kernel(rnn_setup, monkeypatch):
+    """The weight-resident LSTM kernel under the DP-sharded serving trace:
+    its custom_partitioning rule (ops/lstm_kernel.py) runs the kernel on each
+    device's stream shard, so the sharded predictor with the kernel engaged
+    must match the unsharded scan path stream for stream."""
+    from empose_tpu.nn import layers as L
+    from empose_tpu.parallel import mesh as M
+    from empose_tpu.serve import MultiStreamPredictor
+
+    monkeypatch.setattr(L, "LSTM_KERNEL", "interpret")
+    monkeypatch.setattr(L, "LSTM_KERNEL_MIN_BATCH", 2)
+
+    model, params, state = _lgd_setup(seed=7)
+    rng = np.random.RandomState(21)
+    S, chunk, rounds = 16, 4, 2  # 2 streams per device: clears the (patched) gate
+    mesh = M.make_mesh(8)
+    sharded = MultiStreamPredictor(model, params, state, n_streams=S,
+                                   chunk_size=chunk, mesh=mesh)
+    plain = MultiStreamPredictor(model, params, state, n_streams=S,
+                                 chunk_size=chunk)
+    assert sharded._kernel_ok_sharded
+
+    for r in range(rounds):  # round 2 exercises the carried state
+        for i in range(S):
+            pos = rng.randn(chunk, 36).astype(np.float32)
+            ori = rng.randn(chunk, 108).astype(np.float32)
+            sharded.push(i, pos, ori)
+            plain.push(i, pos, ori)
+        got = sharded.step()  # traces (r=0) WITH the kernel, sharded
+        with L.lstm_kernel_disabled():  # reference: scan path, unsharded
+            want = plain.step()
+        for i in range(S):
+            np.testing.assert_allclose(got[i]["pose_body"], want[i]["pose_body"],
+                                       atol=1e-5,
+                                       err_msg=f"round {r} stream {i}")
+    leaf = jax.tree_util.tree_leaves(sharded.carry)[0]
+    assert len(leaf.sharding.device_set) == 8  # not forced to replicate
+
+
 @pytest.mark.parametrize("dp_devices", [1, 2])
 def test_serve_cli_multi_stream(rnn_setup, assets_env, monkeypatch, capsys, tmp_path,
                                 dp_devices):
