@@ -448,8 +448,10 @@ def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
     return outs, (hF, cF)
 
 
-# Weight-resident Pallas kernel for unidirectional stacks (inference only:
-# pallas_call has no VJP here; training keeps the scan/wavefront paths).
+# Weight-resident Pallas kernels (inference only: pallas_call has no VJP
+# here; training keeps the scan/wavefront paths). Unidirectional stacks run
+# the WHOLE stack in one program; bidirectional stacks run one program per
+# layer with both directions' cell updates fused into each grid step.
 # Measured on a v5e chip (released 2x512 stack, F=256): batch 64 the kernel
 # runs 4.6 ms vs 7.8 ms wavefront / 9.8 ms layer-scan; batch 8 it ties the
 # scan (~2.9 ms — the serial recurrence is latency-bound there, confirmed by
@@ -477,13 +479,15 @@ class lstm_kernel_disabled:
         _LSTM_KERNEL_SUSPENDED = self._prev
 
 
-def _lstm_kernel_wanted(n: int, num_layers: int, hidden: int) -> bool:
+def _lstm_kernel_wanted(n: int, num_layers: int, hidden: int,
+                        bidirectional: bool = False) -> bool:
     if LSTM_KERNEL == "0" or _LSTM_KERNEL_SUSPENDED:
         return False
     if n < LSTM_KERNEL_MIN_BATCH:
         return False
-    from empose_tpu.ops.lstm_kernel import fits_vmem
-    if not fits_vmem(num_layers, hidden):
+    from empose_tpu.ops.lstm_kernel import fits_vmem, fits_vmem_bidi
+    if not (fits_vmem_bidi(hidden) if bidirectional
+            else fits_vmem(num_layers, hidden)):
         return False
     if LSTM_KERNEL == "interpret":
         return True
@@ -606,6 +610,26 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
             cells, xt, mask, h0_all, c0_all, precision=_HI,
             interpret=LSTM_KERNEL == "interpret")
         return jnp.swapaxes(outs, 0, 1), (hF, cF)
+
+    if bidirectional and inference and _lstm_kernel_wanted(
+            n, len(layers), hidden, bidirectional=True):
+        # Weight-resident bidirectional layer kernel: both directions of a
+        # layer run inside one program (they are mutually independent);
+        # layers stay separate calls because layer l+1's backward direction
+        # needs layer l's complete output sweep.
+        from empose_tpu.ops.lstm_kernel import lstm_bidi_layer_pallas
+        h_finals, c_finals = [], []
+        for l, layer in enumerate(layers):
+            xt_rev = _reverse_by_length(xt, lengths)
+            outs2, (hF2, cF2) = lstm_bidi_layer_pallas(
+                layer["fwd"], layer["bwd"], xt, xt_rev, mask,
+                h0_all[2 * l:2 * l + 2], c0_all[2 * l:2 * l + 2],
+                precision=_HI, interpret=LSTM_KERNEL == "interpret")
+            outs_b = _reverse_by_length(outs2[:, 1], lengths)
+            xt = jnp.concatenate([outs2[:, 0], outs_b], axis=-1)
+            h_finals += [hF2[0], hF2[1]]
+            c_finals += [cF2[0], cF2[1]]
+        return jnp.swapaxes(xt, 0, 1), (jnp.stack(h_finals), jnp.stack(c_finals))
 
     if not bidirectional and len(layers) > 1 and LSTM_PIPELINE and n >= LSTM_PIPELINE_MIN_BATCH:
         # Wavefront schedule: critical path F+L-1 cell steps instead of F*L,

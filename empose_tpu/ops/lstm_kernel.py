@@ -221,6 +221,163 @@ def _run(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
     return fcp(x0_proj, mask_col, w_hh_all, h0s, c0s)
 
 
+def fits_vmem_bidi(hidden: int) -> bool:
+    """Both directions' recurrent weights of ONE layer resident at once."""
+    return 2 * hidden * 4 * hidden * 4 <= _VMEM_WEIGHT_BUDGET
+
+
+def _make_bidi_kernel(hidden: int, precision):
+    """One bidirectional layer: the two directions are mutually independent,
+    so both cell updates run inside the same grid step (two MXU dots per
+    step instead of one — better systolic-array occupancy at small batch).
+    The backward direction consumes the per-sample length-REVERSED input, so
+    the single mask block serves both (valid frames are a prefix in both)."""
+
+    def kernel(xp_ref, m_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = h0_ref[:]
+            cf_ref[:] = c0_ref[:]
+
+        m = m_ref[0]  # (N, 1): 1.0 where this step is a valid frame
+        for d in range(2):  # static unroll: fwd, bwd
+            x_in = xp_ref[0, d]  # (N, 4H), biases folded in
+            h, c = hf_ref[d], cf_ref[d]
+            gates = x_in + jnp.dot(h, w_hh_ref[d],
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+            i = _sigmoid(gates[:, :hidden])
+            f = _sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = _sigmoid(gates[:, 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            hf_ref[d] = jnp.where(m > 0, h_new, h)
+            cf_ref[d] = jnp.where(m > 0, c_new, c)
+            out_ref[0, d] = h_new * m
+
+    return kernel
+
+
+def _pallas_bidi(x_proj, mask_col, w_hh2, h02, c02,
+                 *, hidden: int, interpret: bool, precision):
+    f, n = x_proj.shape[0], x_proj.shape[2]
+    kernel = _make_bidi_kernel(hidden, precision)
+    outs, hF, cF = pl.pallas_call(
+        kernel,
+        grid=(f,),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, 2, n, hidden), x_proj.dtype),
+            jax.ShapeDtypeStruct((2, n, hidden), x_proj.dtype),
+            jax.ShapeDtypeStruct((2, n, hidden), x_proj.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec((1, 2, n, 4 * hidden), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, hidden, 4 * hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, n, hidden), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # Constant index maps: carries stay VMEM-resident for the grid.
+            pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x_proj, mask_col, w_hh2, h02, c02)
+    return outs, hF, cF
+
+
+@lru_cache(maxsize=None)
+def _partitioned_bidi(hidden: int, interpret: bool, precision):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def impl(x_proj, mask_col, w_hh2, h02, c02):
+        return _pallas_bidi(x_proj, mask_col, w_hh2, h02, c02,
+                            hidden=hidden, interpret=interpret,
+                            precision=precision)
+
+    # Batch-parallel over n; the weight stack carries distinct factors.
+    rule = "f d n g, f n u, e h g, d n h, d n h -> f d n h, d n h, d n h"
+    fcp = custom_partitioning(impl)
+
+    def batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[2] if len(spec) > 2 else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = batch_axis(arg_shapes)
+        xsh = NamedSharding(mesh, P(None, None, batch, None))
+        ssh = NamedSharding(mesh, P(None, batch, None))
+        rep = NamedSharding(mesh, P())
+        msh = NamedSharding(mesh, P(None, batch, None))
+        return mesh, impl, (xsh, ssh, ssh), (xsh, msh, rep, ssh, ssh)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        batch = batch_axis(arg_shapes)
+        xsh = NamedSharding(mesh, P(None, None, batch, None))
+        ssh = NamedSharding(mesh, P(None, batch, None))
+        return (xsh, ssh, ssh)
+
+    fcp.def_partition(partition=partition,
+                      infer_sharding_from_operands=infer_sharding_from_operands,
+                      sharding_rule=rule)
+    return fcp
+
+
+@partial(jax.jit, static_argnames=("hidden", "interpret", "precision"))
+def _run_bidi(x_proj, mask_col, w_hh2, h02, c02,
+              *, hidden: int, interpret: bool, precision):
+    fcp = _partitioned_bidi(hidden, interpret, precision)
+    return fcp(x_proj, mask_col, w_hh2, h02, c02)
+
+
+def lstm_bidi_layer_pallas(cell_fwd: dict, cell_bwd: dict,
+                           x_fwd: jnp.ndarray, x_bwd: jnp.ndarray,
+                           mask: jnp.ndarray, h0: jnp.ndarray, c0: jnp.ndarray,
+                           *, precision=lax.Precision.HIGHEST,
+                           interpret: bool = False):
+    """One bidirectional LSTM layer with both directions' recurrent weights
+    VMEM-resident for the whole sweep (reference layers.py:146-153 runs the
+    same bidirectional recurrence via cuDNN).
+
+    Layers of a bidirectional stack cannot fuse into one program the way the
+    unidirectional stack does — layer l+1's backward direction needs layer
+    l's COMPLETE output sweep — so callers run one call per layer.
+
+    :param x_fwd: (F, N, I) layer input; :param x_bwd: the same input
+      per-sample length-reversed (valid prefix reversed in place), so
+      ``mask`` (F, N) serves both directions.
+    :param h0/c0: (2, N, H), [fwd, bwd].
+    :return: (outs (F, 2, N, H) — backward outputs still in reversed time,
+      (hF, cF) each (2, N, H)).
+    """
+    hidden = cell_fwd["w_hh"].shape[0]
+    xp_f = jnp.matmul(x_fwd, cell_fwd["w_ih"], precision=precision) \
+        + cell_fwd["b_ih"] + cell_fwd["b_hh"]
+    xp_b = jnp.matmul(x_bwd, cell_bwd["w_ih"], precision=precision) \
+        + cell_bwd["b_ih"] + cell_bwd["b_hh"]
+    x_proj = jnp.stack([xp_f, xp_b], axis=1)        # (F, 2, N, 4H)
+    w_hh2 = jnp.stack([cell_fwd["w_hh"], cell_bwd["w_hh"]])
+    mask_col = mask[:, :, None].astype(x_fwd.dtype)
+    outs, hF, cF = _run_bidi(x_proj, mask_col, w_hh2, h0, c0,
+                             hidden=hidden, interpret=interpret,
+                             precision=precision)
+    return outs, (hF, cF)
+
+
 def lstm_stack_pallas(cells: List[dict], x: jnp.ndarray, mask: jnp.ndarray,
                       h0s: jnp.ndarray, c0s: jnp.ndarray, *,
                       precision=lax.Precision.HIGHEST,

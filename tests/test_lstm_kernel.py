@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from empose_tpu.nn import layers as L
-from empose_tpu.ops.lstm_kernel import fits_vmem, lstm_stack_pallas
+from empose_tpu.ops.lstm_kernel import (fits_vmem, fits_vmem_bidi,
+                                        lstm_bidi_layer_pallas,
+                                        lstm_stack_pallas)
 
 
 def _ref_scan(cells, x, mask, h0s, c0s):
@@ -129,3 +131,67 @@ def test_kernel_disabled_context(monkeypatch):
 def test_fits_vmem_gate():
     assert fits_vmem(2, 512)        # the released stack: ~12 MB
     assert not fits_vmem(3, 1024)   # ~80 MB: must fall back to the scan
+    assert fits_vmem_bidi(512)      # released BiRNN layer: ~8 MB
+    assert not fits_vmem_bidi(1024)  # ~32 MB: falls back to the scan
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_bidi_kernel_matches_scan(num_layers, monkeypatch):
+    """lstm_apply's bidirectional kernel branch == the per-direction scan
+    path, including mixed/zero lengths, carried state, and the torch
+    (layer-major, direction-fastest) final-state layout."""
+    monkeypatch.setattr(L, "LSTM_KERNEL", "interpret")
+    monkeypatch.setattr(L, "LSTM_KERNEL_MIN_BATCH", 4)
+
+    rng = np.random.RandomState(17 + num_layers)
+    n, f, i, h = 8, 11, 14, 128
+    params = L.lstm_init(jax.random.PRNGKey(9), i, h, num_layers,
+                         bidirectional=True)
+    x = jnp.asarray(rng.randn(n, f, i).astype(np.float32))
+    lengths = jnp.asarray([11, 8, 0, 11, 4, 1, 7, 11])
+    h0 = jnp.asarray(rng.randn(num_layers * 2, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers * 2, n, h).astype(np.float32) * 0.1)
+
+    ref, (rh, rc) = L.lstm_apply(params, x, lengths, init_state=(h0, c0))
+    out, (oh, oc) = L.lstm_apply(params, x, lengths, init_state=(h0, c0),
+                                 inference=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oh), np.asarray(rh), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oc), np.asarray(rc), atol=1e-6)
+
+
+def test_bidi_kernel_batch_sharded():
+    """The bidi kernel's custom_partitioning rule: batch-sharded == unsharded
+    and the batch sharding survives to the outputs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+
+    rng = np.random.RandomState(23)
+    f, n, i, h = 6, 4 * len(devs), 10, 128
+    params = L.lstm_init(jax.random.PRNGKey(3), i, h, 1, bidirectional=True)
+    cf, cb = params["layers"][0]["fwd"], params["layers"][0]["bwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, f + 1, size=n))
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    x_rev = L._reverse_by_length(x, lengths)
+    h0 = jnp.asarray(rng.randn(2, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(2, n, h).astype(np.float32) * 0.1)
+
+    ref_out, (ref_h, ref_c) = lstm_bidi_layer_pallas(
+        cf, cb, x, x_rev, mask, h0, c0, interpret=True)
+
+    bsh = NamedSharding(mesh, P(None, "data"))
+    ssh = NamedSharding(mesh, P(None, "data", None))
+    out, (hF, cF) = lstm_bidi_layer_pallas(
+        cf, cb, jax.device_put(x, bsh), jax.device_put(x_rev, bsh),
+        jax.device_put(mask, bsh), jax.device_put(h0, ssh),
+        jax.device_put(c0, ssh), interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
+    assert "data" in str(out.sharding.spec), out.sharding
