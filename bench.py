@@ -121,17 +121,18 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
     return results
 
 
-def run_train_step_tpu(iters=20, warmup=3):
-    """Median wall-clock of ONE fused training step at the released
-    LGD-RNN-6 retrain regime (batch 12 x window 32): on-device datagen
+def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
+    """Mean wall-clock of ONE fused training step: on-device datagen
     (FK + virtual sensors + offsets) + LGD forward + grads + adam in a
-    single XLA program. The reference's example GPU step is 0.700 s
-    (reference README.md:230)."""
+    single XLA program. Default regime is the released LGD-RNN-6 retrain
+    config (batch 12 x window 32); the reference's example GPU step is
+    0.700 s (reference README.md:230). Callers also probe a large-batch
+    regime (64 x 64) where the differentiable Pallas LSTM kernel engages."""
     import jax
     import __graft_entry__ as GE
 
     config = GE._flagship_config(tiny=False)
-    config.bs_train, config.window_size = 12, 32
+    config.bs_train, config.window_size = bs, window
     model, sensor = GE._build_model(config)
     step, opt_init = GE.make_train_step(model, sensor, config)
     step = jax.jit(step, donate_argnums=(0, 1, 2))
@@ -244,6 +245,11 @@ def main():
         result["throughput_batch64_fps"] = round(thr["highest"], 2)
         result["bf16_throughput_batch64_fps"] = round(thr["default"], 2)
         result["train_step_ms_bs12_w32"] = round(run_train_step_tpu(), 2)
+        # Large-batch training throughput (frames/s trained), where the
+        # differentiable weight-resident LSTM kernel pair carries the
+        # recurrence (ops/lstm_train_kernel.py).
+        tt_ms = run_train_step_tpu(bs=64, window=64)
+        result["train_throughput_bs64_w64_fps"] = round(64 * 64 / (tt_ms / 1e3), 2)
     print(json.dumps(result))
 
 

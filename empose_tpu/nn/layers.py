@@ -479,6 +479,31 @@ class lstm_kernel_disabled:
         _LSTM_KERNEL_SUSPENDED = self._prev
 
 
+# Differentiable per-direction-layer kernel for TRAINING (custom_vjp over a
+# weight-resident forward + reverse-sweep backward pair, ops/lstm_train_kernel).
+# Both scan sweeps re-stream w_hh from HBM every step; the kernel pair keeps
+# it resident and defers every weight gradient to one big outside GEMM.
+# Gate measured on a v5e chip (see README); EMPOSE_LSTM_TRAIN_KERNEL=0
+# disables, =interpret runs the Pallas interpreter (CPU tests).
+LSTM_TRAIN_KERNEL = _os.environ.get("EMPOSE_LSTM_TRAIN_KERNEL", "1")
+LSTM_TRAIN_KERNEL_MIN_BATCH = int(
+    _os.environ.get("EMPOSE_LSTM_TRAIN_KERNEL_MIN_BATCH", "8"))
+
+
+def _lstm_train_kernel_wanted(n: int, hidden: int) -> bool:
+    if LSTM_TRAIN_KERNEL == "0" or _LSTM_KERNEL_SUSPENDED:
+        return False
+    if n < LSTM_TRAIN_KERNEL_MIN_BATCH:
+        return False
+    from empose_tpu.ops.lstm_train_kernel import fits_vmem_layer
+    if not fits_vmem_layer(hidden):
+        return False
+    if LSTM_TRAIN_KERNEL == "interpret":
+        return True
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
+
+
 def _lstm_kernel_wanted(n: int, num_layers: int, hidden: int,
                         bidirectional: bool = False) -> bool:
     if LSTM_KERNEL == "0" or _LSTM_KERNEL_SUSPENDED:
@@ -631,7 +656,22 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
             c_finals += [cF2[0], cF2[1]]
         return jnp.swapaxes(xt, 0, 1), (jnp.stack(h_finals), jnp.stack(c_finals))
 
-    if not bidirectional and len(layers) > 1 and LSTM_PIPELINE and n >= LSTM_PIPELINE_MIN_BATCH:
+    # Training: the differentiable weight-resident layer kernel replaces the
+    # scan (and the wavefront schedule) per direction-layer when the batch
+    # clears its gate — identical masked semantics, gradients included.
+    train_kernel = (not inference) and _lstm_train_kernel_wanted(n, hidden)
+    if train_kernel:
+        from empose_tpu.ops.lstm_train_kernel import lstm_cell_train_pallas
+
+        def cell_fn(cell, xs, m, h0, c0):
+            return lstm_cell_train_pallas(
+                cell, xs, m, h0, c0, precision=_HI,
+                interpret=LSTM_TRAIN_KERNEL == "interpret")
+    else:
+        cell_fn = _lstm_cell_scan
+
+    if (not bidirectional and len(layers) > 1 and not train_kernel
+            and LSTM_PIPELINE and n >= LSTM_PIPELINE_MIN_BATCH):
         # Wavefront schedule: critical path F+L-1 cell steps instead of F*L,
         # identical outputs/finals (see _lstm_stack_scan_wavefront).
         cells = [layer["fwd"] for layer in layers]
@@ -641,11 +681,11 @@ def lstm_apply(params: Params, x: jnp.ndarray, lengths: jnp.ndarray,
     h_finals, c_finals = [], []
     for l, layer in enumerate(layers):
         fwd_idx = l * num_dirs
-        outs_f, (hF_f, cF_f) = _lstm_cell_scan(layer["fwd"], xt, mask, h0_all[fwd_idx], c0_all[fwd_idx])
+        outs_f, (hF_f, cF_f) = cell_fn(layer["fwd"], xt, mask, h0_all[fwd_idx], c0_all[fwd_idx])
         if bidirectional:
             xt_rev = _reverse_by_length(xt, lengths)
-            outs_b, (hF_b, cF_b) = _lstm_cell_scan(layer["bwd"], xt_rev, mask,
-                                                   h0_all[fwd_idx + 1], c0_all[fwd_idx + 1])
+            outs_b, (hF_b, cF_b) = cell_fn(layer["bwd"], xt_rev, mask,
+                                           h0_all[fwd_idx + 1], c0_all[fwd_idx + 1])
             outs_b = _reverse_by_length(outs_b, lengths)
             xt = jnp.concatenate([outs_f, outs_b], axis=-1)
             h_finals += [hF_f, hF_b]

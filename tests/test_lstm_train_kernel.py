@@ -1,0 +1,153 @@
+"""Differentiable weight-resident LSTM layer kernel (ops/lstm_train_kernel.py).
+
+The custom_vjp pair (Pallas forward sweep + Pallas reverse sweep, all weight
+gradients deferred to outside GEMMs) is the TRAINING path for direction-layers
+at batch >= EMPOSE_LSTM_TRAIN_KERNEL_MIN_BATCH on TPU. These tests pin its
+forward AND gradient parity with the masked scan (the torch-semantics
+reference path) via Pallas interpreter mode on the CPU mesh — including
+zero-length sequences, carried state, bidirectional stacks, and the
+batch-sharded DP case.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from empose_tpu.nn import layers as L
+from empose_tpu.ops.lstm_train_kernel import (fits_vmem_layer,
+                                              lstm_cell_train_pallas)
+
+
+def _mixed_lengths_mask(f, lengths):
+    return (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+
+
+def test_cell_forward_matches_scan_bitwise():
+    rng = np.random.RandomState(0)
+    f, n, i, h = 9, 4, 6, 128
+    cell = L.lstm_init(jax.random.PRNGKey(1), i, h, 1)["layers"][0]["fwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([9, 5, 0, 7])
+    mask = _mixed_lengths_mask(f, lengths)
+    h0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+
+    ref_out, (rh, rc) = L._lstm_cell_scan(cell, x, mask, h0, c0)
+    out, (oh, oc) = lstm_cell_train_pallas(cell, x, mask, h0, c0,
+                                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+    np.testing.assert_array_equal(np.asarray(oh), np.asarray(rh))
+    np.testing.assert_array_equal(np.asarray(oc), np.asarray(rc))
+
+
+def test_cell_gradients_match_scan():
+    """Grads wrt every cell param, the input, and the initial state — with a
+    loss that touches outputs AND both final states, over mixed/zero
+    lengths (frozen steps must pass cotangents through untouched)."""
+    rng = np.random.RandomState(1)
+    f, n, i, h = 11, 4, 6, 128
+    cell = L.lstm_init(jax.random.PRNGKey(2), i, h, 1)["layers"][0]["fwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([11, 6, 0, 1])
+    mask = _mixed_lengths_mask(f, lengths)
+    h0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(f, n, h).astype(np.float32))
+
+    def loss(run):
+        def fn(cell, x, h0, c0):
+            out, (hF, cF) = run(cell, x, mask, h0, c0)
+            return jnp.sum(out * w) + jnp.sum(hF ** 2) + jnp.sum(jnp.sin(cF))
+        return fn
+
+    g_ref = jax.grad(loss(L._lstm_cell_scan), argnums=(0, 1, 2, 3))(
+        cell, x, h0, c0)
+    kern = lambda *a: lstm_cell_train_pallas(*a, interpret=True)
+    g_k = jax.grad(loss(kern), argnums=(0, 1, 2, 3))(cell, x, h0, c0)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_lstm_apply_train_gate_gradients(monkeypatch, bidirectional):
+    """lstm_apply binds the training kernel under the gate and its VALUE and
+    GRADIENTS match the scan path, for uni- and bidirectional stacks."""
+    monkeypatch.setattr(L, "LSTM_TRAIN_KERNEL", "interpret")
+    monkeypatch.setattr(L, "LSTM_TRAIN_KERNEL_MIN_BATCH", 4)
+
+    rng = np.random.RandomState(5)
+    n, f, i, h, num_layers = 6, 8, 10, 128, 2
+    params = L.lstm_init(jax.random.PRNGKey(4), i, h, num_layers,
+                         bidirectional=bidirectional)
+    x = jnp.asarray(rng.randn(n, f, i).astype(np.float32))
+    lengths = jnp.asarray([8, 5, 0, 8, 2, 7])
+    dirs = 2 if bidirectional else 1
+    h0 = jnp.asarray(rng.randn(num_layers * dirs, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers * dirs, n, h).astype(np.float32) * 0.1)
+    w = jnp.asarray(rng.randn(n, f, h * dirs).astype(np.float32))
+
+    def loss(p, x):
+        out, (hF, cF) = L.lstm_apply(p, x, lengths, init_state=(h0, c0))
+        return jnp.sum(out * w) + jnp.sum(hF ** 2) + jnp.sum(cF ** 2)
+
+    # Scan reference: suspend every kernel via the trace-time context.
+    with L.lstm_kernel_disabled():
+        v_ref, g_ref = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+    v_k, g_k = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
+
+    np.testing.assert_allclose(float(v_k), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_train_kernel_batch_sharded():
+    """custom_partitioning on BOTH sweeps: a DP-sharded value_and_grad
+    through the kernel matches the unsharded result, and the batch
+    sharding survives to the forward outputs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+
+    rng = np.random.RandomState(11)
+    f, n, i, h = 7, 4 * len(devs), 10, 128
+    cell = L.lstm_init(jax.random.PRNGKey(6), i, h, 1)["layers"][0]["fwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, f + 1, size=n))
+    mask = _mixed_lengths_mask(f, lengths)
+    h0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+
+    def loss(cell, x, mask, h0, c0):
+        out, (hF, cF) = lstm_cell_train_pallas(cell, x, mask, h0, c0,
+                                               interpret=True)
+        return jnp.sum(out ** 2) + jnp.sum(hF ** 2) + jnp.sum(cF ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(loss)(cell, x, mask, h0, c0)
+
+    bsh = NamedSharding(mesh, P(None, "data"))
+    nsh = NamedSharding(mesh, P("data", None))
+    v_s, g_s = jax.value_and_grad(loss)(
+        cell, jax.device_put(x, bsh), jax.device_put(mask, bsh),
+        jax.device_put(h0, nsh), jax.device_put(c0, nsh))
+
+    np.testing.assert_allclose(float(v_s), float(v_ref), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+    out_sharded, _ = lstm_cell_train_pallas(
+        cell, jax.device_put(x, bsh), jax.device_put(mask, bsh),
+        jax.device_put(h0, nsh), jax.device_put(c0, nsh), interpret=True)
+    assert "data" in str(out_sharded.sharding.spec), out_sharded.sharding
+
+
+def test_fits_vmem_layer_gate():
+    assert fits_vmem_layer(512)       # released stacks: 4 MB resident
+    assert not fits_vmem_layer(2048)  # 64 MB: must fall back to the scan
