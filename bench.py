@@ -248,8 +248,10 @@ def main():
         # Large-batch training throughput (frames/s trained), where the
         # differentiable weight-resident LSTM kernel pair carries the
         # recurrence (ops/lstm_train_kernel.py).
-        tt_ms = run_train_step_tpu(bs=64, window=64)
-        result["train_throughput_bs64_w64_fps"] = round(64 * 64 / (tt_ms / 1e3), 2)
+        tt_bs, tt_w = 64, 64
+        tt_ms = run_train_step_tpu(bs=tt_bs, window=tt_w)
+        result["train_throughput_bs64_w64_fps"] = round(
+            tt_bs * tt_w / (tt_ms / 1e3), 2)
     print(json.dumps(result))
 
 

@@ -448,9 +448,11 @@ def _lstm_cell_scan(cell: Params, x: jnp.ndarray, mask: jnp.ndarray, h0, c0):
     return outs, (hF, cF)
 
 
-# Weight-resident Pallas kernels (inference only: pallas_call has no VJP
-# here; training keeps the scan/wavefront paths). Unidirectional stacks run
-# the WHOLE stack in one program; bidirectional stacks run one program per
+# Weight-resident Pallas kernels for INFERENCE (raw pallas_call has no VJP;
+# training at batch >= LSTM_TRAIN_KERNEL_MIN_BATCH routes through the
+# differentiable custom_vjp kernel pair below instead, and keeps the
+# scan/wavefront paths under that gate). Unidirectional stacks run the
+# WHOLE stack in one program; bidirectional stacks run one program per
 # layer with both directions' cell updates fused into each grid step.
 # Measured on a v5e chip (released 2x512 stack, F=256): batch 64 the kernel
 # runs 4.6 ms vs 7.8 ms wavefront / 9.8 ms layer-scan; batch 8 it ties the

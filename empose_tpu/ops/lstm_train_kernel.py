@@ -48,7 +48,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from empose_tpu.ops.lstm_kernel import (_VMEM_WEIGHT_BUDGET, _PALLAS_OK,
-                                        _sigmoid)
+                                        _batch_axis, _sigmoid)
 
 if _PALLAS_OK:
     from jax.experimental import pallas as pl
@@ -64,9 +64,12 @@ def fits_vmem_layer(hidden: int) -> bool:
 # Forward sweep: carried states in VMEM scratch, W_hh resident, per-step
 # streams: x_proj in; gate preactivations + carried (h, c) out.
 
-def _make_fwd_kernel(hidden: int, precision):
-    def kernel(xp_ref, m_ref, whh_ref, h0_ref, c0_ref,
-               g_ref, h_ref, c_ref, h_s, c_s):
+def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
+    def kernel(xp_ref, m_ref, whh_ref, h0_ref, c0_ref, *rest):
+        if save_gates:
+            g_ref, h_ref, c_ref, h_s, c_s = rest
+        else:
+            h_ref, c_ref, h_s, c_s = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -87,7 +90,8 @@ def _make_fwd_kernel(hidden: int, precision):
         h_new = o * jnp.tanh(c_new)
         h_s[:] = jnp.where(m > 0, h_new, h)
         c_s[:] = jnp.where(m > 0, c_new, c)
-        g_ref[0] = gates
+        if save_gates:
+            g_ref[0] = gates
         h_ref[0] = h_s[:]
         c_ref[0] = c_s[:]
 
@@ -95,16 +99,18 @@ def _make_fwd_kernel(hidden: int, precision):
 
 
 def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
-                *, hidden: int, interpret: bool, precision):
+                *, hidden: int, interpret: bool, precision,
+                save_gates: bool = True):
     f, n = x_proj.shape[0], x_proj.shape[1]
-    kernel = _make_fwd_kernel(hidden, precision)
+    kernel = _make_fwd_kernel(hidden, precision, save_gates)
     step_h = pl.BlockSpec((1, n, hidden), lambda t: (t, 0, 0),
                           memory_space=pltpu.VMEM)
+    gates_out = ((jax.ShapeDtypeStruct((f, n, 4 * hidden), x_proj.dtype),)
+                 if save_gates else ())
     return pl.pallas_call(
         kernel,
         grid=(f,),
-        out_shape=(
-            jax.ShapeDtypeStruct((f, n, 4 * hidden), x_proj.dtype),
+        out_shape=gates_out + (
             jax.ShapeDtypeStruct((f, n, hidden), x_proj.dtype),
             jax.ShapeDtypeStruct((f, n, hidden), x_proj.dtype),
         ),
@@ -120,11 +126,9 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
             pl.BlockSpec((n, hidden), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, n, 4 * hidden), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            step_h, step_h,
-        ),
+        out_specs=((pl.BlockSpec((1, n, 4 * hidden), lambda t: (t, 0, 0),
+                                 memory_space=pltpu.VMEM),)
+                   if save_gates else ()) + (step_h, step_h),
         scratch_shapes=[
             pltpu.VMEM((n, hidden), jnp.float32),
             pltpu.VMEM((n, hidden), jnp.float32),
@@ -134,22 +138,26 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
 
 
 # ---------------------------------------------------------------------------
-# Backward sweep (reverse time): cotangent carries in VMEM scratch, W_hh
-# resident; streams dh/dc cotangents + saved gates/c_prev in, dgates out.
+# Backward sweep (reverse time): cotangent carries live in the dh0/dc0
+# output blocks (constant index maps), W_hh resident; streams dh/dc
+# cotangents + saved gates/c_prev in, dgates out.
 
 def _make_bwd_kernel(hidden: int, precision):
     def kernel(dh_ref, dc_ref, g_ref, cp_ref, m_ref, whh_ref,
-               dg_ref, dh0_ref, dc0_ref, dh_s, dc_s):
+               dg_ref, dh0_ref, dc0_ref):
+        # The dh0/dc0 output blocks have constant index maps (VMEM-resident
+        # for the whole grid), so they double as the reverse-sweep cotangent
+        # carries — same pattern as the forward kernels' hf/cf blocks.
         t = pl.program_id(0)
 
         @pl.when(t == 0)
         def _():
-            dh_s[:] = jnp.zeros_like(dh_s[:])
-            dc_s[:] = jnp.zeros_like(dc_s[:])
+            dh0_ref[:] = jnp.zeros_like(dh0_ref[:])
+            dc0_ref[:] = jnp.zeros_like(dc0_ref[:])
 
         m = m_ref[0]                       # (N, 1)
-        Dh = dh_s[:] + dh_ref[0]           # total cotangent on carried h_t
-        Dc = dc_s[:] + dc_ref[0]
+        Dh = dh0_ref[:] + dh_ref[0]        # total cotangent on carried h_t
+        Dc = dc0_ref[:] + dc_ref[0]
         gates = g_ref[0]
         c_prev = cp_ref[0]
         i = _sigmoid(gates[:, :hidden])
@@ -173,13 +181,11 @@ def _make_bwd_kernel(hidden: int, precision):
         ], axis=-1)                        # (N, 4H)
         dg_ref[0] = dgates
         # ds_{t-1} through the gate matmul + the frozen-step bypass.
-        dh_s[:] = lax.dot_general(
+        dh0_ref[:] = lax.dot_general(
             dgates, whh_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision) + Dh * (1.0 - m)
-        dc_s[:] = dc_new * f + Dc * (1.0 - m)
-        dh0_ref[:] = dh_s[:]
-        dc0_ref[:] = dc_s[:]
+        dc0_ref[:] = dc_new * f + Dc * (1.0 - m)
 
     return kernel
 
@@ -215,10 +221,6 @@ def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh,
                          memory_space=pltpu.VMEM),
             const_h, const_h,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((n, hidden), jnp.float32),
-            pltpu.VMEM((n, hidden), jnp.float32),
-        ],
         interpret=interpret,
     )(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh)
 
@@ -229,31 +231,31 @@ def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh,
 # Both sweeps are embarrassingly parallel over N.
 
 @lru_cache(maxsize=None)
-def _partitioned_fwd(hidden: int, interpret: bool, precision):
+def _partitioned_fwd(hidden: int, interpret: bool, precision,
+                     save_gates: bool = True):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     def impl(x_proj, mask_col, w_hh, h0, c0):
         return _pallas_fwd(x_proj, mask_col, w_hh, h0, c0, hidden=hidden,
-                           interpret=interpret, precision=precision)
+                           interpret=interpret, precision=precision,
+                           save_gates=save_gates)
 
-    rule = "f n g, f n u, h g, n h, n h -> f n g, f n h, f n h"
+    outs = ("f n g, " if save_gates else "") + "f n h, f n h"
+    rule = f"f n g, f n u, h g, n h, n h -> {outs}"
     fcp = custom_partitioning(impl)
 
-    def batch_axis(arg_shapes):
-        spec = arg_shapes[0].sharding.spec
-        return spec[1] if len(spec) > 1 else None
-
     def partition(mesh, arg_shapes, result_shape):
-        b = batch_axis(arg_shapes)
+        b = _batch_axis(arg_shapes)
         st = NamedSharding(mesh, P(None, b, None))
         nb = NamedSharding(mesh, P(b, None))
         rep = NamedSharding(mesh, P())
-        return mesh, impl, (st, st, st), (st, st, rep, nb, nb)
+        out_sh = (st, st, st) if save_gates else (st, st)
+        return mesh, impl, out_sh, (st, st, rep, nb, nb)
 
     def infer(mesh, arg_shapes, result_shape):
-        st = NamedSharding(mesh, P(None, batch_axis(arg_shapes), None))
-        return (st, st, st)
+        st = NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
+        return (st, st, st) if save_gates else (st, st)
 
     fcp.def_partition(partition=partition,
                       infer_sharding_from_operands=infer,
@@ -274,19 +276,15 @@ def _partitioned_bwd(hidden: int, interpret: bool, precision):
     rule = "f n h, f n h, f n g, f n h, f n u, i g -> f n g, n h, n h"
     fcp = custom_partitioning(impl)
 
-    def batch_axis(arg_shapes):
-        spec = arg_shapes[0].sharding.spec
-        return spec[1] if len(spec) > 1 else None
-
     def partition(mesh, arg_shapes, result_shape):
-        b = batch_axis(arg_shapes)
+        b = _batch_axis(arg_shapes)
         st = NamedSharding(mesh, P(None, b, None))
         nb = NamedSharding(mesh, P(b, None))
         rep = NamedSharding(mesh, P())
         return mesh, impl, (st, nb, nb), (st, st, st, st, st, rep)
 
     def infer(mesh, arg_shapes, result_shape):
-        b = batch_axis(arg_shapes)
+        b = _batch_axis(arg_shapes)
         return (NamedSharding(mesh, P(None, b, None)),
                 NamedSharding(mesh, P(b, None)),
                 NamedSharding(mesh, P(b, None)))
@@ -305,9 +303,11 @@ def _partitioned_bwd(hidden: int, interpret: bool, precision):
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _lstm_core(x_proj, mask01, w_hh, h0, c0, hidden, interpret, precision):
-    gates, h_all, c_all = _partitioned_fwd(hidden, interpret, precision)(
+    # Undifferentiated primal: skip the gate-preactivation residual stream
+    # entirely (it only exists to feed the backward sweep).
+    h_all, c_all = _partitioned_fwd(hidden, interpret, precision,
+                                    save_gates=False)(
         x_proj, mask01[:, :, None], w_hh, h0, c0)
-    del gates
     return h_all, c_all
 
 

@@ -29,6 +29,7 @@ from empose_tpu.data import transforms as T
 from empose_tpu.data.datasets import get_all_offset_files
 from empose_tpu.eval.harness import EvalSession, pad_time, window_generator, _round_up
 from empose_tpu.eval.metrics import MetricsEngine
+from empose_tpu.nn import layers as L
 from empose_tpu.nn.models import IterativeErrorFeedback, SensorSMPL, create_model
 from empose_tpu.parallel import mesh as M
 from empose_tpu.utils import experiments as U
@@ -118,13 +119,26 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_step(self, host_batch: Dict) -> Dict[str, float]:
         self.rng_key, k = jax.random.split(self.rng_key)
+        per_device = None
         if self.mesh is not None:
             host_batch = M.pad_batch_to_devices(host_batch, self.mesh.devices.size)
             batch = M.shard_batch(host_batch, self.mesh)
+            per_device = batch["seq_lengths"].shape[0] // self.mesh.devices.size
         else:
             batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
-        self.params, self.state, self.opt_state, vals = self._train_step(
-            self.params, self.state, self.opt_state, batch, k)
+        if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
+            # The training LSTM kernel's custom_partitioning rule runs it on
+            # each device's batch shard, so the PER-DEVICE batch is what its
+            # gate was measured against — below it the scan/wavefront paths
+            # win; bind those instead (trace-time choice, guard every call:
+            # only the first one per shape traces). Mirrors serve.py's
+            # _kernel_ok_sharded guard for the inference kernel.
+            with L.lstm_kernel_disabled():
+                self.params, self.state, self.opt_state, vals = self._train_step(
+                    self.params, self.state, self.opt_state, batch, k)
+        else:
+            self.params, self.state, self.opt_state, vals = self._train_step(
+                self.params, self.state, self.opt_state, batch, k)
         self.global_step += 1
         return vals
 
