@@ -81,6 +81,13 @@ _FLAG_SPECS = [
     ("profile_dir", None, dict(help="If set, capture a jax.profiler trace into this directory.")),
     ("remat", False, dict(action="store_true", help="Rematerialize FK inside the LGD loop "
                                                     "(trades FLOPs for training memory).")),
+    ("steps_per_call", 8, dict(type=int, help="Host-loop unrolling: run up to K training "
+                                              "steps as one device program (lax.scan), "
+                                              "amortizing per-step host/dispatch cost. "
+                                              "Same per-step math and PRNG chain as K=1 "
+                                              "(bit-identical on CPU; on TPU equal up to "
+                                              "XLA fusion-order rounding). Print/eval "
+                                              "cadence is preserved exactly.")),
 ]
 
 

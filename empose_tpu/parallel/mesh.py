@@ -33,9 +33,15 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     return Mesh(devices, (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
-    """Leading-axis sharding for batch pytrees."""
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis: str = "dp",
+                   leading_axes: int = 0) -> NamedSharding:
+    """Batch-axis sharding for batch pytrees.
+
+    :param leading_axes: number of unsharded axes BEFORE the batch axis
+      (e.g. 1 for the (K, n, ...) stacked batches of a host-unrolled
+      multi-step program).
+    """
+    return NamedSharding(mesh, P(*([None] * leading_axes + [axis])))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

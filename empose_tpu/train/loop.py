@@ -20,6 +20,7 @@ from typing import Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 import optax
 
 from empose_tpu import constants as C
@@ -101,20 +102,47 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_state, new_opt_state, vals
 
+        # Host-loop unrolling (config.steps_per_call > 1): K steps chain
+        # inside ONE program via lax.scan — one upload, one dispatch, the
+        # PRNG key chained in the carry with the same split order as the
+        # single-step path, so losses are bit-identical step for step. This
+        # amortizes the per-dispatch host cost (a round-trip on a tunneled
+        # device) over K on-chip steps.
+        def step_n(params, state, opt_state, key, batches):
+            def body(carry, batch):
+                params, state, opt_state, key = carry
+                key, k = jax.random.split(key)
+                p2, s2, o2, vals = step(params, state, opt_state, batch, k)
+                return (p2, s2, o2, key), vals
+
+            (params, state, opt_state, key), vals = lax.scan(
+                body, (params, state, opt_state, key), batches)
+            return params, state, opt_state, key, vals
+
+        self._step_n_fn = step_n
+
         if self.mesh is not None:
             rep = M.replicated(self.mesh)
             bsh = M.batch_sharding(self.mesh)
+            bsh_k = M.batch_sharding(self.mesh, leading_axes=1)
             self._train_step = jax.jit(
                 step,
                 in_shardings=(rep, rep, rep, bsh, rep),
                 out_shardings=(rep, rep, rep, rep),
                 donate_argnums=(0, 1, 2),
             )
+            self._train_step_n = jax.jit(
+                step_n,
+                in_shardings=(rep, rep, rep, rep, bsh_k),
+                out_shardings=(rep, rep, rep, rep, rep),
+                donate_argnums=(0, 1, 2, 3),
+            )
             self.params = M.replicate(self.params, self.mesh)
             self.state = M.replicate(self.state, self.mesh)
             self.opt_state = M.replicate(self.opt_state, self.mesh)
         else:
             self._train_step = jax.jit(step, donate_argnums=(0, 1, 2))
+            self._train_step_n = jax.jit(step_n, donate_argnums=(0, 1, 2, 3))
 
     # ------------------------------------------------------------------
     def train_step(self, host_batch: Dict) -> Dict[str, float]:
@@ -127,6 +155,7 @@ class Trainer:
         else:
             batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
         if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
+            # (See train_step_chunk for the same guard on the unrolled path.)
             # The training LSTM kernel's custom_partitioning rule runs it on
             # each device's batch shard, so the PER-DEVICE batch is what its
             # gate was measured against — below it the scan/wavefront paths
@@ -140,6 +169,52 @@ class Trainer:
             self.params, self.state, self.opt_state, vals = self._train_step(
                 self.params, self.state, self.opt_state, batch, k)
         self.global_step += 1
+        return vals
+
+    # ------------------------------------------------------------------
+    def train_step_chunk(self, host_batches) -> Dict:
+        """Run K training steps as ONE device program (lax.scan over stacked
+        batches, PRNG key chained in the carry with the same split order as
+        :meth:`train_step`) while paying the host/dispatch cost once. The
+        per-step math is the same jaxpr; results are bit-identical to K
+        single steps on CPU (pinned in test_train_eval) and equivalent up
+        to XLA fusion-order rounding on TPU (the scan context can fuse the
+        step differently). Each steps_per_call setting is itself fully
+        deterministic. Returns the loss dict with a leading K axis (device
+        arrays; callers flush lazily).
+
+        All batches in the chunk must share shapes (fit() cuts chunks on
+        shape changes, e.g. a short final batch)."""
+        k_steps = len(host_batches)
+        if k_steps == 1:
+            # Scalar (not length-1) leaves; fit()'s flush handles both.
+            return self.train_step(host_batches[0])
+
+        self.rng_key = jnp.asarray(self.rng_key)
+        per_device = None
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            host_batches = [M.pad_batch_to_devices(b, n_dev) for b in host_batches]
+            per_device = host_batches[0]["seq_lengths"].shape[0] // n_dev
+            stacked = {k2: np.stack([b[k2] for b in host_batches])
+                       for k2 in host_batches[0] if k2 != "ids"}
+            batches = {k2: jax.device_put(
+                v, M.batch_sharding(self.mesh, leading_axes=1))
+                for k2, v in stacked.items()}
+        else:
+            batches = {k2: jnp.asarray(np.stack([b[k2] for b in host_batches]))
+                       for k2 in host_batches[0] if k2 != "ids"}
+
+        if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
+            with L.lstm_kernel_disabled():
+                (self.params, self.state, self.opt_state, self.rng_key,
+                 vals) = self._train_step_n(self.params, self.state,
+                                            self.opt_state, self.rng_key, batches)
+        else:
+            (self.params, self.state, self.opt_state, self.rng_key,
+             vals) = self._train_step_n(self.params, self.state,
+                                        self.opt_state, self.rng_key, batches)
+        self.global_step += k_steps
         return vals
 
     # ------------------------------------------------------------------
@@ -265,35 +340,63 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
     # end-to-end per 4.9 ms on-chip step). Steps chain through the donated
     # train state; scalars flush in one batched device_get at print/eval/
     # checkpoint boundaries, so the chip runs print_every steps back-to-back.
-    pending = []  # [(global_step, device-scalar dict)]
+    pending = []  # [(last_global_step, device loss dict w/ leading K, K)]
 
     def flush():
         nonlocal last_vals
         if not pending:
             return
-        host = jax.device_get([v for _, v in pending])
-        for (gs, _), hv in zip(pending, host):
-            last_vals = {k: float(v) for k, v in hv.items()}
-            if writer:
-                writer.add_scalars(last_vals, gs, prefix="train/")
-                writer.add_scalar("lr", config.lr, gs)
+        host = jax.device_get([v for _, v, _ in pending])
+        for (gs_last, _, k_steps), hv in zip(pending, host):
+            arrs = {k: np.atleast_1d(np.asarray(v)) for k, v in hv.items()}
+            for j in range(k_steps):
+                last_vals = {k: float(v[j]) for k, v in arrs.items()}
+                if writer:
+                    gs = gs_last - (k_steps - 1 - j)
+                    writer.add_scalars(last_vals, gs, prefix="train/")
+                    writer.add_scalar("lr", config.lr, gs)
         pending.clear()
+
+    # Host-loop unrolling: up to steps_per_call batches run as ONE device
+    # program (Trainer.train_step_chunk — bit-identical to K single steps).
+    # Chunks are cut so print/eval/max_steps fire at exactly the same
+    # global steps as steps_per_call=1, and on batch-shape changes (the
+    # short final batch of an epoch can't stack with full ones).
+    unroll = max(int(getattr(config, "steps_per_call", 1) or 1), 1)
+    eval_mod = max(config.eval_every - 1, 1)
+    print_mod = max(config.print_every - 1, 1)
+    chunk = []
+
+    def run_chunk():
+        if not chunk:
+            return
+        k_steps = len(chunk)
+        vals = trainer.train_step_chunk(chunk)
+        pending.append((trainer.global_step, vals, k_steps))
+        chunk.clear()
 
     for epoch in range(trainer.epoch, config.n_epochs):
         trainer.epoch = epoch
         for i, batch in enumerate(train_loader):
-            vals = trainer.train_step(batch)
-            pending.append((trainer.global_step, vals))
+            if chunk and batch["seq_lengths"].shape[0] != chunk[0]["seq_lengths"].shape[0]:
+                run_chunk()
+            chunk.append(batch)
+            gs_after = trainer.global_step + len(chunk)
+            at_print = i % print_mod == 0
+            at_eval = gs_after % eval_mod == 0
+            at_max = max_steps is not None and gs_after >= max_steps
+            if len(chunk) >= unroll or at_print or at_eval or at_max:
+                run_chunk()
 
-            if i % max(config.print_every - 1, 1) == 0:
-                n_window = len(pending)
+            if at_print:
+                n_window = sum(k for _, _, k in pending)
                 flush()
                 per_step = timer.reset() / max(n_window, 1)
                 loss_string = " ".join(f"{k}: {v:.6f}" for k, v in last_vals.items())
                 print(f"[TRAIN {i + 1:05d} | {epoch + 1:03d}] {loss_string} "
                       f"elapsed: {per_step:.3f} secs")
 
-            if trainer.global_step % max(config.eval_every - 1, 1) == 0:
+            if at_eval:
                 flush()
                 valid_losses = trainer.evaluate_valid(valid_loader, me)
                 valid_metrics = me.get_metrics()
@@ -327,6 +430,7 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
     # Always leave a usable checkpoint, even if eval never fired (the
     # reference saves only on eval improvements, train.py:190-205, which can
     # end a run with no checkpoint at all).
+    run_chunk()
     flush()
     if not os.path.isdir(checkpoint_dir):
         trainer.save(checkpoint_dir)

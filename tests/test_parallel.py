@@ -62,6 +62,36 @@ def test_padded_dp_step_exact_batch_mean(assets_env):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_dp_train_step_chunk_matches_single_steps(assets_env):
+    """Host-loop unrolling under the DP mesh: one scanned 3-step program on
+    8 devices matches three single DP steps (same key chain, same batches)."""
+    import __graft_entry__ as GE
+    from empose_tpu.train.loop import Trainer
+
+    rng = np.random.RandomState(5)
+    batches = [{k: np.asarray(v) for k, v in GE._tiny_batch(rng, n=8, f=8).items()}
+               for _ in range(3)]
+
+    config = GE._flagship_config(tiny=True)
+    config.dp_devices = 8
+    t_single = Trainer(config, seed=21)
+    t_chunk = Trainer(config, seed=21)
+
+    vals_single = [t_single.train_step({k: v.copy() for k, v in b.items()})
+                   for b in batches]
+    vals_chunk = t_chunk.train_step_chunk(
+        [{k: v.copy() for k, v in b.items()} for b in batches])
+
+    assert t_chunk.global_step == t_single.global_step == 3
+    for j, vs in enumerate(vals_single):
+        for k in vs:
+            np.testing.assert_allclose(float(vals_chunk[k][j]), float(vs[k]),
+                                       rtol=2e-4, err_msg=f"step {j} {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(t_single.params),
+                    jax.tree_util.tree_leaves(t_chunk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver contract: full DP train step on an 8-device mesh."""
     import __graft_entry__ as GE

@@ -57,6 +57,28 @@ def test_train_steps_and_checkpoint(assets_env, trained_dir, monkeypatch):
     assert os.path.isdir(os.path.join(model_dir, "checkpoint_model"))
 
 
+def test_steps_per_call_bit_identical(assets_env, monkeypatch, tmp_path):
+    """Host-loop unrolling (steps_per_call > 1) runs K steps as one scanned
+    device program; the PRNG chain and per-step jaxpr are identical, so on
+    the CPU test platform training is BIT-identical to the single-step
+    driver (on TPU the scan context may fuse the step differently — equal
+    up to rounding; see Trainer.train_step_chunk)."""
+    monkeypatch.setenv("EM_EXPERIMENTS", str(tmp_path))
+    import jax
+    from scripts.train import main as train_main
+
+    results = {}
+    for k_unroll, exp_id in ((1, "222001"), (4, "222004")):
+        cfg = tiny_train_config(experiment_id=exp_id, print_every=10**9,
+                                steps_per_call=k_unroll, n_epochs=3)
+        _, trainer = train_main(cfg, max_steps=6)
+        assert trainer.global_step == 6
+        results[k_unroll] = jax.device_get(trainer.params)
+
+    for a, b in zip(jax.tree.leaves(results[1]), jax.tree.leaves(results[4])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_resume_roundtrip(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
     from empose_tpu.train.loop import Trainer
