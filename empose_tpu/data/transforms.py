@@ -120,13 +120,11 @@ def smpl_fk_markers(sensor_smpl, batch: Dict) -> Dict:
     n, f = poses.shape[0], poses.shape[1]
     flat = poses.reshape(n * f, -1)
     shapes = jnp.repeat(batch["shapes"], f, axis=0)
-    # Reference FK uses the batch trans (zeroed by normalize_root).
-    from empose_tpu.bodymodel.smplh import smplh_fk
-    verts, joints52 = smplh_fk(sensor_smpl.sub, flat[:, 3:], shapes, poses_root=flat[:, :3],
-                               trans=batch["trans"].reshape(n * f, 3))
-    from empose_tpu.data.virtual_sensors import virtual_pos_and_rot
-    m_pos, m_ori, m_nor = virtual_pos_and_rot(verts, sensor_smpl.tables)
-    joints = joints52[:, : C.N_JOINTS + 1]
+    # Reference FK uses the batch trans (zeroed by normalize_root). The
+    # lane-major program serves this under the EMPOSE_FK_LANES gate (same
+    # math as the row-major path; ~5x on the datagen stage of a train step).
+    m_pos, m_ori, m_nor, joints = sensor_smpl.markers_and_joints(
+        flat, shapes, trans=batch["trans"].reshape(n * f, 3))
 
     out = dict(batch)
     out["joints_gt"] = joints.reshape(n, f, -1)

@@ -88,9 +88,21 @@ class SensorSMPL:
                              want_vertices=False)
         return joints[:, : C.N_JOINTS + 1].reshape(poses.shape[0], -1)
 
-    def markers_and_joints(self, poses: jnp.ndarray, shapes: jnp.ndarray):
-        """Subset FK -> virtual sensor frames (no offsets applied)."""
-        verts, joints = smplh_fk(self.sub, poses[:, 3:], shapes, poses_root=poses[:, :3])
+    def markers_and_joints(self, poses: jnp.ndarray, shapes: jnp.ndarray,
+                           trans: jnp.ndarray = None):
+        """Subset FK -> virtual sensor frames (no offsets applied).
+
+        This is also the on-device DATAGEN FK (data/transforms.py
+        smpl_fk_markers); the lane-major program serves it under the same
+        EMPOSE_FK_LANES gate as the LGD hot path."""
+        if self.use_lanes:
+            return self.lane_fk.raw_frames(poses, shapes, trans)
+        return self.markers_and_joints_row_major(poses, shapes, trans)
+
+    def markers_and_joints_row_major(self, poses, shapes, trans=None):
+        """Row-major reference path (also the lane-parity oracle in tests)."""
+        verts, joints = smplh_fk(self.sub, poses[:, 3:], shapes,
+                                 poses_root=poses[:, :3], trans=trans)
         pos, ori, nor = vsens.virtual_pos_and_rot(verts, self.tables)
         return pos, ori, nor, joints[:, : C.N_JOINTS + 1]
 

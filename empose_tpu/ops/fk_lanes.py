@@ -183,6 +183,36 @@ class LaneFK:
         :return: (marker_pos (B, M, 3), marker_ori (B, M, 3, 3),
                   joints (B, J, 3)) — standard layout.
         """
+        mk, frames, _nr, tg = self._core(poses, shapes)
+        ori = jnp.sum(frames[:, :, :, None] * offset_r_lanes[:, None], axis=2)
+        pos = mk + jnp.sum(frames * offset_t_lanes[:, None], axis=2)
+        return pos.transpose(2, 0, 1), ori.transpose(3, 0, 1, 2), tg.transpose(2, 0, 1)
+
+    def raw_frames(self, poses: jnp.ndarray, shapes: jnp.ndarray,
+                   trans: jnp.ndarray = None):
+        """Pre-offset sensor frames + joints (the on-device DATAGEN FK,
+        reference transforms.py:259-282 fused with the sensor sampler's
+        consumer; offsets/noise are applied downstream by
+        ``sample_markers_with_offsets``).
+
+        :param trans: optional (B, 3) root translation — FK is
+          translation-equivariant, so it adds onto positions after the fact
+          (frames/normals are translation-invariant).
+        :return: (marker_pos (B, M, 3), frames (B, M, 3, 3), normals
+          (B, M, 3) — the reference's UNNORMALIZED face-normal average,
+          joints (B, J, 3)) — standard layout.
+        """
+        mk, frames, nr, tg = self._core(poses, shapes)
+        pos = mk.transpose(2, 0, 1)
+        joints = tg.transpose(2, 0, 1)
+        if trans is not None:
+            pos = pos + trans[:, None]
+            joints = joints + trans[:, None]
+        return pos, frames.transpose(3, 0, 1, 2), nr.transpose(2, 0, 1), joints
+
+    def _core(self, poses: jnp.ndarray, shapes: jnp.ndarray):
+        """Lane-major FK -> (marker verts (M, 3, N), frames (M, 3, 3, N),
+        normals (M, 3, N), joints (J, 3, N))."""
         n = poses.shape[0]
         J, V = self.J, self.V
         aa = poses.T.reshape(J, 3, n)                                    # (J, 3, N)
@@ -212,8 +242,6 @@ class LaneFK:
         tg = tg_parts[0][self.level_inv_perm]                            # (J, 3, N)
         tsk = tg - _rotate(Rg, j_rest)
 
-        joints_out = tg.transpose(2, 0, 1)                               # (N, J, 3)
-
         # LBS: one (V, J) @ (J, 12N) GEMM blends rotations + translations.
         Rg_flat = jnp.concatenate([Rg.reshape(J, 9, n), tsk], axis=1).reshape(J, 12 * n)
         blended = jnp.matmul(self.weights, Rg_flat, precision=_HI).reshape(V, 12, n)
@@ -242,9 +270,6 @@ class LaneFK:
         on_surface = _normalize(_cross(third, ns))
         frames = jnp.stack([on_surface, third, ns], axis=2)              # (M, 3, 3, N) columns
 
-        ori = jnp.sum(frames[:, :, :, None] * offset_r_lanes[:, None], axis=2)
-        pos = mk + jnp.sum(frames * offset_t_lanes[:, None], axis=2)
-
-        pos_out = pos.transpose(2, 0, 1)                                 # (N, M, 3)
-        ori_out = ori.transpose(3, 0, 1, 2)                              # (N, M, 3, 3)
-        return pos_out, ori_out, joints_out
+        # nr (not ns): the reference's sensor-normal output is the
+        # UNNORMALIZED incident-face-normal average (virtual_sensors.py:16-38).
+        return mk, frames, nr, tg

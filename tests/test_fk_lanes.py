@@ -40,7 +40,7 @@ def sensor(smplh_model):
 
 def _row_major(sensor, poses, shapes, offset_r, offset_t):
     from jax import lax
-    pos, ori, _, joints = sensor.markers_and_joints(poses, shapes)
+    pos, ori, _, joints = sensor.markers_and_joints_row_major(poses, shapes)
     ori_corr = jnp.matmul(ori, offset_r, precision=lax.Precision.HIGHEST)
     pos_corr = pos + jnp.squeeze(
         jnp.matmul(ori, offset_t[..., None], precision=lax.Precision.HIGHEST), -1)
@@ -64,6 +64,26 @@ def test_lanes_forward_matches_row_major(sensor):
     d_ori = np.abs(np.asarray(a[1]) - np.asarray(b[1]))
     assert np.quantile(d_ori, 0.999) < 2e-4
     assert d_ori.max() < 5e-3
+
+
+def test_raw_frames_matches_row_major(sensor):
+    """The datagen entry point (pre-offset frames + normals + joints, with a
+    nonzero root translation) — lane vs row-major."""
+    rng = np.random.RandomState(9)
+    poses, shapes, _, _ = _random_inputs(rng, 192)
+    trans = jnp.asarray((rng.randn(192, 3) * 0.5).astype(np.float32))
+
+    a = jax.jit(lambda p, s, t: sensor.markers_and_joints_row_major(p, s, t))(
+        poses, shapes, trans)
+    b = jax.jit(lambda p, s, t: sensor.lane_fk.raw_frames(p, s, t))(
+        poses, shapes, trans)
+
+    np.testing.assert_allclose(np.asarray(a[3]), np.asarray(b[3]), atol=2e-6)  # joints
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]), atol=1e-4)  # pos
+    for ai, bi, name in ((a[1], b[1], "frames"), (a[2], b[2], "normals")):
+        d = np.abs(np.asarray(ai) - np.asarray(bi))
+        assert np.quantile(d, 0.999) < 2e-4, name
+        assert d.max() < 5e-3, name
 
 
 def test_lanes_gradients_match_row_major(sensor):
