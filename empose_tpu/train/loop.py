@@ -119,8 +119,6 @@ class Trainer:
                 body, (params, state, opt_state, key), batches)
             return params, state, opt_state, key, vals
 
-        self._step_n_fn = step_n
-
         if self.mesh is not None:
             rep = M.replicated(self.mesh)
             bsh = M.batch_sharding(self.mesh)
@@ -145,6 +143,17 @@ class Trainer:
             self._train_step_n = jax.jit(step_n, donate_argnums=(0, 1, 2, 3))
 
     # ------------------------------------------------------------------
+    def _kernel_gate_ctx(self, per_device):
+        """Suspend the training LSTM kernel when the PER-DEVICE batch is
+        below its gate: the kernel's custom_partitioning rule runs it on
+        each device's batch shard, so the per-device batch is what the gate
+        was measured against — below it the scan/wavefront paths win
+        (trace-time choice; mirrors serve.py's _kernel_ok_sharded guard)."""
+        import contextlib
+        if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
+            return L.lstm_kernel_disabled()
+        return contextlib.nullcontext()
+
     def train_step(self, host_batch: Dict) -> Dict[str, float]:
         self.rng_key, k = jax.random.split(self.rng_key)
         per_device = None
@@ -154,18 +163,7 @@ class Trainer:
             per_device = batch["seq_lengths"].shape[0] // self.mesh.devices.size
         else:
             batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
-        if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
-            # (See train_step_chunk for the same guard on the unrolled path.)
-            # The training LSTM kernel's custom_partitioning rule runs it on
-            # each device's batch shard, so the PER-DEVICE batch is what its
-            # gate was measured against — below it the scan/wavefront paths
-            # win; bind those instead (trace-time choice, guard every call:
-            # only the first one per shape traces). Mirrors serve.py's
-            # _kernel_ok_sharded guard for the inference kernel.
-            with L.lstm_kernel_disabled():
-                self.params, self.state, self.opt_state, vals = self._train_step(
-                    self.params, self.state, self.opt_state, batch, k)
-        else:
+        with self._kernel_gate_ctx(per_device):
             self.params, self.state, self.opt_state, vals = self._train_step(
                 self.params, self.state, self.opt_state, batch, k)
         self.global_step += 1
@@ -205,12 +203,7 @@ class Trainer:
             batches = {k2: jnp.asarray(np.stack([b[k2] for b in host_batches]))
                        for k2 in host_batches[0] if k2 != "ids"}
 
-        if per_device is not None and per_device < L.LSTM_TRAIN_KERNEL_MIN_BATCH:
-            with L.lstm_kernel_disabled():
-                (self.params, self.state, self.opt_state, self.rng_key,
-                 vals) = self._train_step_n(self.params, self.state,
-                                            self.opt_state, self.rng_key, batches)
-        else:
+        with self._kernel_gate_ctx(per_device):
             (self.params, self.state, self.opt_state, self.rng_key,
              vals) = self._train_step_n(self.params, self.state,
                                         self.opt_state, self.rng_key, batches)
@@ -366,19 +359,28 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
     eval_mod = max(config.eval_every - 1, 1)
     print_mod = max(config.print_every - 1, 1)
     chunk = []
+    steps_in_window = 0  # steps executed since the last timer reset
 
     def run_chunk():
+        nonlocal steps_in_window
         if not chunk:
             return
         k_steps = len(chunk)
         vals = trainer.train_step_chunk(chunk)
         pending.append((trainer.global_step, vals, k_steps))
+        steps_in_window += k_steps
         chunk.clear()
+
+    def batch_shapes(b):
+        # Full per-key shapes: both loaders bucket the TIME axis per batch
+        # (round_up(max length, 32), batches.py/datasets.py), so equal batch
+        # sizes can still carry different frame counts and must not stack.
+        return {k: np.shape(v) for k, v in b.items() if k != "ids"}
 
     for epoch in range(trainer.epoch, config.n_epochs):
         trainer.epoch = epoch
         for i, batch in enumerate(train_loader):
-            if chunk and batch["seq_lengths"].shape[0] != chunk[0]["seq_lengths"].shape[0]:
+            if chunk and batch_shapes(batch) != batch_shapes(chunk[0]):
                 run_chunk()
             chunk.append(batch)
             gs_after = trainer.global_step + len(chunk)
@@ -389,9 +391,9 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
                 run_chunk()
 
             if at_print:
-                n_window = sum(k for _, _, k in pending)
                 flush()
-                per_step = timer.reset() / max(n_window, 1)
+                per_step = timer.reset() / max(steps_in_window, 1)
+                steps_in_window = 0
                 loss_string = " ".join(f"{k}: {v:.6f}" for k, v in last_vals.items())
                 print(f"[TRAIN {i + 1:05d} | {epoch + 1:03d}] {loss_string} "
                       f"elapsed: {per_step:.3f} secs")
@@ -421,6 +423,10 @@ def fit(trainer: Trainer, train_loader, valid_loader, test_loader, model_dir: st
                     writer.add_scalars(test_losses, trainer.global_step, prefix="test/")
                     writer.add_scalars(MetricsEngine.to_log_dict(valid_metrics, "valid"), trainer.global_step)
                     writer.add_scalars(MetricsEngine.to_log_dict(test_metrics, "test"), trainer.global_step)
+                # Eval wall time must not be billed to the next print
+                # window's per-step average.
+                timer.reset()
+                steps_in_window = 0
 
             if max_steps is not None and trainer.global_step >= max_steps:
                 flush()

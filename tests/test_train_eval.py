@@ -79,6 +79,31 @@ def test_steps_per_call_bit_identical(assets_env, monkeypatch, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_steps_per_call_mixed_time_buckets(assets_env, tmp_path):
+    """Both loaders bucket the TIME axis per batch (round_up(max len, 32)),
+    so consecutive batches can share a batch size but differ in frame
+    count — fit() must cut the chunk there instead of crashing np.stack."""
+    import __graft_entry__ as GE
+    from empose_tpu.train.loop import Trainer, fit
+
+    cfg = GE._flagship_config(tiny=True)
+    cfg.steps_per_call = 4
+    cfg.print_every = 10**9
+    cfg.eval_every = 10**9
+    cfg.n_epochs = 1
+    trainer = Trainer(cfg, seed=5)
+
+    rng = np.random.RandomState(0)
+    batches = [GE._tiny_batch(rng, n=2, f=8) for _ in range(2)] \
+        + [GE._tiny_batch(rng, n=2, f=16) for _ in range(2)] \
+        + [GE._tiny_batch(rng, n=2, f=8)]
+    batches = [{k: np.asarray(v) for k, v in b.items()} for b in batches]
+
+    last = fit(trainer, batches, None, None, str(tmp_path / "exp"))
+    assert trainer.global_step == 5
+    assert np.isfinite(last["total_loss"])
+
+
 def test_resume_roundtrip(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
     from empose_tpu.train.loop import Trainer
