@@ -40,6 +40,16 @@ from empose_tpu.utils.logging import ScalarWriter, StepTimer
 class Trainer:
     def __init__(self, config, seed: Optional[int] = None, match_reference_grads: bool = True):
         self.config = config
+        if getattr(config, "bf16", False):
+            # The validated bf16 mode: NN GEMMs + lane-major kinematics GEMMs
+            # at Precision.DEFAULT (bf16 inputs on the MXU); 3x3 rotation
+            # algebra stays f32. Accuracy measured end-to-end in README
+            # (sub-0.04mm MPJPE shift; ~21% faster train steps, equivalent
+            # convergence). Module-level knobs — same as setting
+            # EMPOSE_NN_PRECISION=default EMPOSE_FK_PRECISION=default.
+            L.set_nn_precision("default")
+            from empose_tpu.ops.fk_lanes import set_fk_precision
+            set_fk_precision("default")
         self.seed = int(seed if seed is not None else (config.seed or time.time()))
         self.rng_key = jax.random.PRNGKey(self.seed)
 

@@ -79,6 +79,26 @@ def test_steps_per_call_bit_identical(assets_env, monkeypatch, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bf16_flag_binds_precision_knobs(assets_env):
+    """--bf16 engages the validated serving-precision mode (NN + kinematics
+    GEMMs at Precision.DEFAULT) through the Trainer constructor."""
+    from jax import lax
+    import __graft_entry__ as GE
+    from empose_tpu.nn import layers as L
+    from empose_tpu.ops import fk_lanes as FK
+    from empose_tpu.train.loop import Trainer
+
+    old_nn, old_fk = L._HI, FK._HI
+    try:
+        cfg = GE._flagship_config(tiny=True)
+        cfg.bf16 = True
+        Trainer(cfg, seed=1)
+        assert L._HI == lax.Precision.DEFAULT
+        assert FK._HI == lax.Precision.DEFAULT
+    finally:
+        L._HI, FK._HI = old_nn, old_fk
+
+
 def test_steps_per_call_mixed_time_buckets(assets_env, tmp_path):
     """Both loaders bucket the TIME axis per batch (round_up(max len, 32)),
     so consecutive batches can share a batch size but differ in frame
