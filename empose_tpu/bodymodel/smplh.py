@@ -138,11 +138,13 @@ class SMPLHModel:
             object.__setattr__(self, "faces", _StaticArray(self.faces))
         # Precompute the factored joint regression when not supplied
         # (load_smplh provides float64-accurate versions; this fallback covers
-        # directly-constructed models). When the inputs are already device
-        # arrays the math runs ON DEVICE: a device->host readback here would
-        # permanently degrade every subsequent dispatch in the process (the
-        # axon runtime drops to a synchronous ~1ms/call mode after the first
-        # d2h transfer — measured, see tools/profile_forward.py).
+        # directly-constructed models). HOST-CONSTANTS RULE: build paths keep
+        # every field as host numpy. Jitted consumers close over these tables,
+        # and lowering a closed-over array that was COMPUTED on device forces
+        # a device->host read of its value — which permanently drops the axon
+        # runtime into a synchronous ~1.4ms-per-dispatch mode (measured).
+        # Numpy (or h2d-uploaded) constants embed for free. Models built from
+        # device arrays keep their math on device for back-compat.
         if self.j_template is None:
             if isinstance(self.j_regressor, jnp.ndarray) and not isinstance(self.j_regressor, np.ndarray):
                 jt = jnp.matmul(self.j_regressor, self.v_template, precision=_HI)
@@ -155,9 +157,9 @@ class SMPLHModel:
                 vt = np.asarray(self.v_template, np.float64)
                 sd = np.asarray(self.shapedirs, np.float64)
                 dtype = self.v_template.dtype
-                object.__setattr__(self, "j_template", jnp.asarray(jr @ vt, dtype=dtype))
+                object.__setattr__(self, "j_template", np.asarray(jr @ vt, dtype=dtype))
                 object.__setattr__(self, "j_shapedirs",
-                                   jnp.asarray(np.einsum("jv,vdb->jdb", jr, sd), dtype=dtype))
+                                   np.asarray(np.einsum("jv,vdb->jdb", jr, sd), dtype=dtype))
 
     # -- pytree plumbing ---------------------------------------------------
     def tree_flatten(self):
@@ -242,14 +244,18 @@ def load_smplh(npz_path: Optional[str] = None, num_betas: int = C.N_SHAPE_PARAMS
     faces = np.asarray(data["f"], dtype=np.int64)
     j_template = j_regressor @ v_template  # (J, 3), float64
     j_shapedirs = np.einsum("jv,vdb->jdb", j_regressor, shapedirs)  # (J, 3, B)
+    # HOST-CONSTANTS RULE (see __post_init__): fields stay numpy so that
+    # jitted closures embed them without a device->host value read. Consumers
+    # that pass the model as a jit ARGUMENT device_put it once (SMPLLayer).
+    np_dtype = np.dtype(dtype)
     return SMPLHModel(
-        v_template=jnp.asarray(v_template, dtype=dtype),
-        shapedirs=jnp.asarray(shapedirs, dtype=dtype),
-        posedirs=jnp.asarray(posedirs, dtype=dtype),
-        j_regressor=jnp.asarray(j_regressor, dtype=dtype),
-        weights=jnp.asarray(weights, dtype=dtype),
-        j_template=jnp.asarray(j_template, dtype=dtype),
-        j_shapedirs=jnp.asarray(j_shapedirs, dtype=dtype),
+        v_template=np.asarray(v_template, dtype=np_dtype),
+        shapedirs=np.asarray(shapedirs, dtype=np_dtype),
+        posedirs=np.asarray(posedirs, dtype=np_dtype),
+        j_regressor=np.asarray(j_regressor, dtype=np_dtype),
+        weights=np.asarray(weights, dtype=np_dtype),
+        j_template=np.asarray(j_template, dtype=np_dtype),
+        j_shapedirs=np.asarray(j_shapedirs, dtype=np_dtype),
         parents=tuple(int(p) for p in parents),
         faces=faces,
     )
@@ -268,7 +274,8 @@ def fold_zero_pose_joints(model: SMPLHModel, keep: int) -> SMPLHModel:
     joints into the wrists is lossless there and cuts the differentiated FK
     chain from 52 to 22 joints.
 
-    All math runs on device (no host readback — see ``__post_init__``).
+    Host-numpy models fold on the host (HOST-CONSTANTS RULE, see
+    ``__post_init__``); device-array models fold on device.
     Requires the kept prefix to be ancestor-closed (true for SMPL-H).
     """
     J = model.n_joints
@@ -287,7 +294,12 @@ def fold_zero_pose_joints(model: SMPLHModel, keep: int) -> SMPLHModel:
     fold = np.zeros((J, keep), np.float32)
     for j in range(J):
         fold[j, anc[j]] = 1.0
-    weights = jnp.matmul(model.weights, jnp.asarray(fold), precision=_HI)
+    if isinstance(model.weights, np.ndarray):
+        weights = np.asarray(
+            np.asarray(model.weights, np.float64) @ np.asarray(fold, np.float64),
+            model.weights.dtype)
+    else:
+        weights = jnp.matmul(model.weights, jnp.asarray(fold), precision=_HI)
     return replace(
         model,
         posedirs=model.posedirs[: (keep - 1) * 9],
@@ -461,7 +473,11 @@ class SMPLLayer:
         lbs_fn = None
         if want_pallas:
             from empose_tpu.ops.skinning import PallasLBS
-            lbs_fn = PallasLBS(np.asarray(model.weights))
+            lbs_fn = PallasLBS(model.weights)  # host numpy in (no d2h)
+        # The model pytree is a jit ARGUMENT of the fk calls; host-numpy
+        # leaves would re-upload the full-mesh tables (~40 MB) per call, so
+        # push them to device ONCE here (h2d only — no readback).
+        self._model_dev = jax.device_put(model)
         self._fk_jit = jax.jit(partial(smplh_fk, want_vertices=True, lbs_fn=lbs_fn))
         self._fk_joints_jit = jax.jit(partial(smplh_fk, want_vertices=False))
 
@@ -474,11 +490,11 @@ class SMPLLayer:
 
     def fk(self, poses_body, betas, poses_root=None, trans=None, normalize_root=False, window_size=None):
         if normalize_root:
-            return smplh_fk_normalized_root(self.model, poses_body, betas, poses_root, trans)
-        return self._fk_jit(self.model, poses_body, betas, poses_root, trans)
+            return smplh_fk_normalized_root(self._model_dev, poses_body, betas, poses_root, trans)
+        return self._fk_jit(self._model_dev, poses_body, betas, poses_root, trans)
 
     def fk_joints(self, poses_body, betas, poses_root=None, trans=None):
-        return self._fk_joints_jit(self.model, poses_body, betas, poses_root, trans)[1]
+        return self._fk_joints_jit(self._model_dev, poses_body, betas, poses_root, trans)[1]
 
     def vertex_normals(self, vertices, output_vertex_ids=None):
         """Unnormalized vertex normals over the full mesh (reference smpl.py:69-79)."""

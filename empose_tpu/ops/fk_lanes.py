@@ -127,26 +127,30 @@ class LaneFK:
         :param tables: ``VirtualSensorTables`` in subset rows."""
         self.J = int(model.n_joints)
         self.parents = tuple(model.parents)
-        W = np.asarray(model.weights, np.float32)
-        self.V = W.shape[0]
+        self.V = model.weights.shape[0]
         self.n_betas = int(model.n_betas)
-        self.weights = jnp.asarray(W)                                    # (V, J)
-        self.j_shapedirs_flat = jnp.asarray(
-            np.asarray(model.j_shapedirs, np.float32).reshape(self.J * 3, -1))  # (J*3, B)
-        self.j_template_col = jnp.asarray(
-            np.asarray(model.j_template, np.float32).reshape(self.J * 3, 1))
-        self.shapedirs_flat = jnp.asarray(
-            np.asarray(model.shapedirs, np.float32).reshape(self.V * 3, -1))    # (V*3, B)
-        self.v_template_col = jnp.asarray(
-            np.asarray(model.v_template, np.float32).reshape(self.V * 3, 1))
-        self.posedirs_t = jnp.asarray(np.asarray(model.posedirs, np.float32).T)  # (V*3, P)
+        # Baked constants stay HOST numpy: they are closed over by jitted
+        # programs, and lowering a closed-over array that was COMPUTED on
+        # device requires a device->host read of its value — which
+        # permanently drops the axon runtime into a synchronous
+        # ~1.4ms-per-dispatch mode (measured). Build paths hand this class an
+        # np-field model (see bodymodel/smplh.py host-constants note); numpy
+        # constants embed into the MLIR for free. Guarded by
+        # tests/test_platform.py::test_model_build_no_device_to_host.
+        f32 = lambda x: np.asarray(x, np.float32)
+        self.weights = f32(model.weights)                                # (V, J)
+        self.j_shapedirs_flat = f32(model.j_shapedirs).reshape(self.J * 3, -1)  # (J*3, B)
+        self.j_template_col = f32(model.j_template).reshape(self.J * 3, 1)
+        self.shapedirs_flat = f32(model.shapedirs).reshape(self.V * 3, -1)      # (V*3, B)
+        self.v_template_col = f32(model.v_template).reshape(self.V * 3, 1)
+        self.posedirs_t = f32(model.posedirs).T.copy()                   # (V*3, P)
         self.marker_rows = np.asarray(tables.marker_rows)
         self.helper_rows = np.asarray(tables.helper_rows)
         self.sub_faces = np.asarray(tables.sub_faces_rows)
         vf = np.asarray(tables.vertex_faces)
         self.vf_clamped = np.maximum(vf, 0)
-        self.vf_valid = jnp.asarray((vf >= 0).astype(np.float32))        # (M, DEG)
-        self.vf_degree = jnp.asarray((vf >= 0).sum(-1).astype(np.float32))  # (M,)
+        self.vf_valid = (vf >= 0).astype(np.float32)                     # (M, DEG)
+        self.vf_degree = (vf >= 0).sum(-1).astype(np.float32)            # (M,)
         # Level schedule + the permutation that restores joint order after the
         # per-level concat (host-side ints; tree depth ~9 for SMPL-H).
         self.levels = _tree_levels(self.parents)

@@ -99,10 +99,13 @@ def lbs_apply_pallas(weights_t: jnp.ndarray, a_packed: jnp.ndarray, v_posed_t: j
 class PallasLBS:
     """Holds padded/transposed weights for repeated fused-LBS calls."""
 
-    def __init__(self, weights: np.ndarray):
+    def __init__(self, weights):
         v, j = weights.shape
         self.n_vertices = v
         v_pad = _round_up(v, TILE_V)
+        # Build paths pass HOST numpy weights (see ops/fk_lanes.py
+        # LaneFK.__init__ host-constants note): np.asarray is then free, and
+        # the h2d-uploaded result lowers into closures without a d2h read.
         wt = np.zeros((j, v_pad), np.float32)
         wt[:, :v] = np.asarray(weights).T
         self.weights_t = jnp.asarray(wt)

@@ -19,3 +19,37 @@ def enable_compilation_cache() -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
+
+
+_SYNC_FORCED = False
+
+
+def force_synchronous_dispatch() -> None:
+    """Flip the tunneled-TPU runtime into its synchronous dispatch mode, NOW.
+
+    The remote (axon/IFRT-proxy) runtime in this environment has two dispatch
+    modes. Before the process's FIRST device->host transfer, dispatches only
+    enqueue: ``jax.block_until_ready`` returns without actually waiting, and
+    chained executions materialize pathologically slowly at the eventual
+    readback (measured: a chain of 3 small matmuls took 62 s to read back;
+    the same chain takes 94 ms after the flip). The first d2h transfer
+    permanently flips the process into the synchronous mode, where each
+    dispatch costs ~1.4 ms of tunnel round-trip but semantics and throughput
+    are correct.
+
+    Every CLI calls this right after backend/platform selection so the flip
+    happens deterministically at startup instead of at an arbitrary first
+    readback mid-run (and so timing loops never measure the broken deferred
+    mode). Initializes the default backend as a side effect — call it AFTER
+    any jax.config platform forcing. No-op after the first call; escape
+    hatch: EMPOSE_DEFERRED_DISPATCH=1.
+    """
+    global _SYNC_FORCED
+    if _SYNC_FORCED or os.environ.get("EMPOSE_DEFERRED_DISPATCH"):
+        return
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    # A computed (not host-uploaded) scalar: its readback is a real d2h.
+    np.asarray(jnp.zeros(()) + 0.0)
+    _SYNC_FORCED = True

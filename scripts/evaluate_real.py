@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(args):
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     prec = getattr(args, "precision", "highest")
     if prec != "highest":
         # Same opt-in bf16 mode as scripts/serve.py --precision (accuracy

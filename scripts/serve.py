@@ -40,8 +40,9 @@ def _set_precision(args):
 
 
 def main(args):
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import numpy as np
 
     _set_precision(args)

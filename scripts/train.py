@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(config, max_steps=None):
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import numpy as np
     from empose_tpu import constants as C
     from empose_tpu.data.batches import collate_amass, collate_real

@@ -36,8 +36,9 @@ def main():
                    help="benchmark MultiStreamPredictor with S batched sessions")
     args = p.parse_args()
 
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import jax
     import __graft_entry__ as GE
     from empose_tpu.serve import StreamingPredictor

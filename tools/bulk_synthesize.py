@@ -30,8 +30,9 @@ import numpy as np
 def synthesize_corpus(corpus_path: str, out_path: str, window: int = 64, batch: int = 32,
                       noise_level: int = 0, seed: int = 0, dp_devices: int = 1,
                       passes: int = 1) -> int:
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import jax
     import jax.numpy as jnp
     from empose_tpu import constants as C

@@ -23,8 +23,9 @@ os.environ["SMPL_MODELS"]=os.path.join(d,"smpl_models")
 os.environ["EM_DATA_REAL"]=os.path.join(d,"data_real")
 os.environ["EM_DATA_SYNTH"]=os.path.join(d,"data_synth")
 os.environ["EM_EXPERIMENTS"]=os.path.join(d,"experiments")
-from empose_tpu.utils.cache import enable_compilation_cache
+from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
 enable_compilation_cache()
+force_synchronous_dispatch()
 import jax
 from empose_tpu import constants as C
 from empose_tpu.config import Configuration

@@ -36,10 +36,12 @@ os.environ["EM_DATA_REAL"] = os.path.join(d, "data_real")
 os.environ["EM_DATA_SYNTH"] = os.path.join(d, "data_synth")
 os.environ["EM_EXPERIMENTS"] = os.path.join(d, "experiments")
 
-from empose_tpu.utils.cache import enable_compilation_cache
+from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
 
 enable_compilation_cache()
 
+
+force_synchronous_dispatch()
 from empose_tpu.config import Configuration
 from empose_tpu.data.batches import collate_amass, collate_real
 from empose_tpu.data.datasets import EMRBatchLoader, EMRSequenceDataset, Loader, RealDataset

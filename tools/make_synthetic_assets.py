@@ -34,8 +34,9 @@ def generate_all(out_dir: str, n_real_sequences: int = 4, n_amass_sequences: int
     import jax.numpy as jnp
     from functools import partial
     from empose_tpu import constants as C
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()  # FK first-compiles cost minutes on remote-compile TPU setups
+    force_synchronous_dispatch()
     from empose_tpu.bodymodel import synthetic as S
     from empose_tpu.bodymodel.smplh import load_smplh, smplh_fk
     from empose_tpu.data.virtual_sensors import subset_tables, virtual_pos_and_rot

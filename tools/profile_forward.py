@@ -28,8 +28,9 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from empose_tpu.utils.cache import enable_compilation_cache
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
     enable_compilation_cache()
+    force_synchronous_dispatch()
     import __graft_entry__ as GE
     from bench import bench_config, make_window
     from empose_tpu.nn import layers as L
