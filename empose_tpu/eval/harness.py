@@ -134,7 +134,9 @@ class EvalSession:
 
     def forward_chunk(self, chunk: Dict, carry):
         """:return: (outputs dict of HOST arrays, loss-val dict of floats, carry)."""
-        device_chunk = {k: jnp.asarray(v) for k, v in chunk.items() if k != "ids"}
+        # device_put (async enqueue), not jnp.asarray (blocks ~one tunnel
+        # RTT): the upload overlaps the previous chunk's compute.
+        device_chunk = jax.device_put({k: v for k, v in chunk.items() if k != "ids"})
         key = jax.random.fold_in(self._noise_base_key, self._chunk_counter)
         self._chunk_counter += 1
         packed, vals, new_carry = self._run_chunk(self.params, self.state, device_chunk, carry, key)
@@ -259,7 +261,8 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
         print(f"Evaluate {seq_id} ({true_len} frames)")  # reference evaluate_real.py:48
         # Sequence-level root normalization before chunking (the chunk origin
         # depends on the sequence start; reference evaluate_real.py:50).
-        device_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        device_batch = jax.device_put(  # async upload (see forward_chunk)
+            {k: v for k, v in batch.items() if k != "ids"})
         normed = normalize_root(device_batch)
         host_batch = {k: (np.asarray(v) if hasattr(v, "shape") else v) for k, v in normed.items()}
         host_batch["ids"] = batch["ids"]

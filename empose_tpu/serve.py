@@ -125,12 +125,14 @@ class StreamingPredictor:
         self.first_shape: Optional[np.ndarray] = None
 
     def _infer_chunk(self, pos: np.ndarray, ori: np.ndarray, n_valid: int):
-        pos_ori = jnp.asarray(np.concatenate([pos, ori], axis=-1)[None])
+        # device_put (async enqueue), not jnp.asarray (which blocks one
+        # tunnel RTT): the chunk then costs a single sync — the download.
+        pos_ori = jax.device_put(np.concatenate([pos, ori], axis=-1)[None])
         lengths = self._full_lengths if n_valid == self.chunk \
-            else jnp.asarray([n_valid], jnp.int32)
+            else jax.device_put(np.asarray([n_valid], np.int32))
         if self._offsets_dirty:
-            self._offset_t_dev = jnp.asarray(self._offset_t)
-            self._offset_r_dev = jnp.asarray(self._offset_r)
+            self._offset_t_dev = jax.device_put(self._offset_t)
+            self._offset_r_dev = jax.device_put(self._offset_r)
             self._offsets_dirty = False
         packed, self.carry = self._run(self.params, self.state, pos_ori, lengths,
                                        self._offset_t_dev, self._offset_r_dev, self.carry)
@@ -306,7 +308,7 @@ class MultiStreamPredictor:
             return {}
 
         put = (lambda x: jax.device_put(x, self._stream_sharding)) \
-            if self.mesh is not None else jnp.asarray
+            if self.mesh is not None else jax.device_put  # async (no RTT block)
         if self._offsets_dirty:
             self._offset_t_dev = put(self._offset_t)
             self._offset_r_dev = put(self._offset_r)

@@ -172,7 +172,12 @@ class Trainer:
             batch = M.shard_batch(host_batch, self.mesh)
             per_device = batch["seq_lengths"].shape[0] // self.mesh.devices.size
         else:
-            batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+            # device_put, not jnp.asarray: on the tunneled runtime asarray
+            # BLOCKS until the h2d completes (~24ms RTT floor) while
+            # device_put enqueues asynchronously, so the upload overlaps the
+            # previous step's execution (measured, tools note in README).
+            batch = jax.device_put(
+                {k2: v for k2, v in host_batch.items() if k2 != "ids"})
         with self._kernel_gate_ctx(per_device):
             self.params, self.state, self.opt_state, vals = self._train_step(
                 self.params, self.state, self.opt_state, batch, k)
@@ -210,8 +215,10 @@ class Trainer:
                 v, M.batch_sharding(self.mesh, leading_axes=1))
                 for k2, v in stacked.items()}
         else:
-            batches = {k2: jnp.asarray(np.stack([b[k2] for b in host_batches]))
-                       for k2 in host_batches[0] if k2 != "ids"}
+            # Async upload (see train_step): overlaps the previous chunk.
+            batches = jax.device_put({
+                k2: np.stack([b[k2] for b in host_batches])
+                for k2 in host_batches[0] if k2 != "ids"})
 
         with self._kernel_gate_ctx(per_device):
             (self.params, self.state, self.opt_state, self.rng_key,
@@ -250,7 +257,8 @@ class Trainer:
         eval_base = jax.random.PRNGKey(8004)
         for b_idx, host_batch in enumerate(loader):
             k = jax.random.fold_in(eval_base, b_idx)
-            batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+            batch = jax.device_put(  # async upload (see train_step)
+                {k2: v for k2, v in host_batch.items() if k2 != "ids"})
             out, vals, _ = self._eval_forward(self.params, self.state, batch, k)
             bs = host_batch["poses"].shape[0]
             for name, v in vals.items():
@@ -274,7 +282,8 @@ class Trainer:
             metrics_engine.reset()
         agg, n_samples = {}, 0
         for host_batch in loader:
-            device_batch = {k2: jnp.asarray(v) for k2, v in host_batch.items() if k2 != "ids"}
+            device_batch = jax.device_put(  # async upload (see train_step)
+                {k2: v for k2, v in host_batch.items() if k2 != "ids"})
             normed = normalize_root(device_batch)
             hb = {k2: np.asarray(v) for k2, v in normed.items()}
             if window_size is None:
