@@ -33,9 +33,12 @@ def force_synchronous_dispatch() -> None:
     chained executions materialize pathologically slowly at the eventual
     readback (measured: a chain of 3 small matmuls took 62 s to read back;
     the same chain takes 94 ms after the flip). The first d2h transfer
-    permanently flips the process into the synchronous mode, where each
-    dispatch costs ~1.4 ms of tunnel round-trip but semantics and throughput
-    are correct.
+    permanently flips the process into the synchronous mode, where semantics
+    and throughput are correct: dispatches and device_put uploads still
+    enqueue cheaply (~0.01 ms) and pipeline, but every SYNC (block_until_
+    ready on pending work, jnp.asarray upload, d2h readback) costs one
+    tunnel round-trip — measured anywhere from ~1.4 to ~24 ms depending on
+    tunnel conditions. Hot loops therefore sync once per chunk at most.
 
     Every CLI calls this right after backend/platform selection so the flip
     happens deterministically at startup instead of at an arbitrary first
