@@ -6,6 +6,12 @@ the LGD forward + loss, the gradient pass, the Adam update, and the full
 fused step. Run on the chip:
 
     python tools/profile_train.py [--batch 64] [--window 256]
+
+Every stage is timed as a CHAIN: each call's inputs depend on the previous
+call's outputs (a 1e-30-scaled coupling where the natural carry doesn't
+exist), so the calls pipeline on-device and the measurement is the stage's
+compute time — NOT the per-dispatch cost of unconsumed outputs, which on the
+tunneled runtime inflates independent same-input calls severalfold.
 """
 
 from __future__ import annotations
@@ -13,12 +19,29 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from empose_tpu.utils.profiling import timeit_ms as timeit
+
+def timeit_chain(step_fn, carry, iters=20, warmup=3, repeats=3):
+    """Best-of-``repeats`` mean ms/call of ``carry = step_fn(carry)``."""
+    import jax
+    carry = step_fn(carry)          # compile
+    jax.block_until_ready(carry)
+    for _ in range(warmup):
+        carry = step_fn(carry)
+    jax.block_until_ready(carry)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = step_fn(carry)
+        jax.block_until_ready(carry)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
 
 
 def main():
@@ -52,40 +75,70 @@ def main():
 
     k_pre, k_model = jax.random.split(key)
 
+    def couple(tree, scalar):
+        """Inject a data dependency on ``scalar`` without changing values."""
+        eps = (scalar * 1e-30).astype(jnp.float32)
+        return jax.tree.map(
+            lambda x: x + eps.astype(x.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            tree)
+
     # --- datagen: the full preprocess chain (FK + sensors + offsets + noise)
-    t_pre = timeit(jax.jit(lambda b, k: pre(b, k, mode="all")), batch, k_pre)
+    @jax.jit
+    def pre_step(k):
+        gen = pre(batch, k, mode="all")
+        # Next key depends on this call's output -> the chain is real.
+        return jax.random.fold_in(k, gen["marker_pos"].ravel()[0].astype(jnp.int32) & 0x7FFF)
+    t_pre = timeit_chain(pre_step, k_pre)
 
     gen = jax.jit(lambda b, k: pre(b, k, mode="all"))(batch, k_pre)
-    gen = jax.tree.map(lambda x: x, gen)
 
     # --- forward + loss only (no grads)
-    def fwd_loss(p, s, b, k):
-        out, _, _ = model.forward(p, s, b, train=True, key=k)
+    def fwd_loss(p, b, k):
+        out, _, _ = model.forward(p, state, b, train=True, key=k)
         total, _ = model.compute_loss(b, out)
         return total
-    t_fwd = timeit(jax.jit(fwd_loss), params, state, gen, k_model)
 
-    # --- forward + backward (value_and_grad)
-    def loss_for_grad(p, s, b, k):
-        out, new_state, _ = model.forward(p, s, b, train=True, key=k)
+    @jax.jit
+    def fwd_step(p):
+        return couple(p, fwd_loss(p, gen, k_model))
+    t_fwd = timeit_chain(fwd_step, params)
+
+    # --- forward + backward (grad)
+    def loss_for_grad(p, b, k):
+        out, new_state, _ = model.forward(p, state, b, train=True, key=k)
         total, _ = model.compute_loss(b, out)
         extra = getattr(model, "reference_grad_extra_loss", None)
         if extra is not None:
             total = total + extra(out)
         return total
-    t_grad = timeit(jax.jit(jax.grad(loss_for_grad)), params, state, gen, k_model)
 
-    # --- Adam update alone
+    @jax.jit
+    def grad_step(p):
+        g = jax.grad(loss_for_grad)(p, gen, k_model)
+        return jax.tree.map(lambda a, b: a - 1e-30 * b, p, g)
+    t_grad = timeit_chain(grad_step, params)
+
+    # --- Adam update alone (natural carry: params + opt state)
     opt = optax.adam(config.lr)
-    grads = jax.jit(jax.grad(loss_for_grad))(params, state, gen, k_model)
-    def adam(g, o, p):
-        upd, o2 = opt.update(g, o)
-        return optax.apply_updates(p, upd), o2
-    t_adam = timeit(jax.jit(adam), grads, opt_state, params)
+    grads = jax.jit(jax.grad(loss_for_grad))(params, gen, k_model)
 
-    # --- full fused step
+    @jax.jit
+    def adam_step(carry):
+        p, o = carry
+        upd, o2 = opt.update(grads, o)
+        return optax.apply_updates(p, upd), o2
+    t_adam = timeit_chain(adam_step, (params, opt_state))
+
+    # --- full fused step (natural carry: the whole train state)
     jstep = jax.jit(step)
-    t_step = timeit(jstep, params, state, opt_state, batch, key)
+
+    @jax.jit
+    def full_step(carry):
+        p, s, o, k = carry
+        k, k2 = jax.random.split(k)
+        p, s, o, _ = jstep(p, s, o, batch, k2)
+        return p, s, o, k
+    t_step = timeit_chain(full_step, (params, state, opt_state, key))
 
     n_frames = args.batch * args.window
     print(f"batch {args.batch} x window {args.window} ({n_frames} frames)")
