@@ -10,11 +10,37 @@ from __future__ import annotations
 import os
 
 
+def _cpu_fingerprint() -> str:
+    """Short digest of this host's CPU feature set.
+
+    XLA:CPU cache entries are AOT machine code specialized to the compiling
+    host's CPU features; loading an entry compiled on a machine with a
+    different feature set warns 'could lead to execution errors such as
+    SIGILL' (observed when a home directory travels between hosts). The
+    cache key does NOT include the features, so partition the cache dir by
+    them instead. TPU entries recompile once per distinct host — cheap next
+    to a poisoned-cache crash.
+    """
+    import hashlib
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        import platform
+        flags = platform.machine() + platform.processor()
+    return hashlib.sha256(flags.encode()).hexdigest()[:10]
+
+
 def enable_compilation_cache() -> str:
     import jax
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "empose_tpu_xla"))
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     f"empose_tpu_xla-{_cpu_fingerprint()}"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
