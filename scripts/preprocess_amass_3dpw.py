@@ -72,9 +72,15 @@ class _ShardedFK:
         from functools import partial
         from empose_tpu import constants as C
         from empose_tpu.bodymodel.smplh import load_smplh, smplh_fk
+        from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
+        enable_compilation_cache()
+        force_synchronous_dispatch()
         self.C = C
         self.jnp = jnp
-        self.model = load_smplh()
+        # load_smplh returns host-numpy tables (HOST-CONSTANTS RULE); the
+        # model is a jit ARGUMENT here, so push it to device ONCE — numpy
+        # leaves would re-upload the full tables on every shard call.
+        self.model = jax.device_put(load_smplh())
         self._fk = jax.jit(partial(smplh_fk, want_vertices=False))
 
     def joints(self, poses: np.ndarray, betas: np.ndarray, trans: np.ndarray) -> np.ndarray:
@@ -88,11 +94,12 @@ class _ShardedFK:
             if k < FK_SHARD:
                 chunk = np.pad(chunk, ((0, FK_SHARD - k), (0, 0)))
                 tchunk = np.pad(tchunk, ((0, FK_SHARD - k), (0, 0)))
-            _, js = self._fk(self.model,
-                             jnp.asarray(chunk[:, 3:], jnp.float32),
-                             jnp.asarray(betas[None], jnp.float32),
-                             jnp.asarray(chunk[:, :3], jnp.float32),
-                             jnp.asarray(tchunk, jnp.float32))
+            import jax
+            _, js = self._fk(self.model, *jax.device_put((  # async upload
+                np.asarray(chunk[:, 3:], np.float32),
+                np.asarray(betas[None], np.float32),
+                np.asarray(chunk[:, :3], np.float32),
+                np.asarray(tchunk, np.float32))))
             out.append(np.asarray(js)[:k, : C.N_JOINTS + 1].reshape(k, -1))
         return np.concatenate(out, axis=0)
 
