@@ -137,7 +137,10 @@ class MetricsEngine:
     def __init__(self, smpl_model):
         """:param smpl_model: SMPLHModel pytree (full mesh or any subset —
         only joints are used)."""
-        self.smpl = smpl_model
+        # The model is a jit ARGUMENT of the fk calls; host-numpy leaves
+        # (HOST-CONSTANTS RULE, bodymodel/smplh.py) would re-upload the full
+        # tables every call — put them on device once (h2d only).
+        self.smpl = jax.device_put(smpl_model)
         self.eucl_dists: List[np.ndarray] = []
         self.eucl_dists_pa: List[np.ndarray] = []
         self.angle_diffs: List[np.ndarray] = []
@@ -200,16 +203,20 @@ class MetricsEngine:
         def padr(x):
             return np.pad(x, [(0, bucket - count), (0, 0)])
 
-        _, kp3d = self._fk(self.smpl, jnp.asarray(padr(p)), jnp.asarray(padr(s)), jnp.asarray(padr(r)))
-        _, kp3d_hat = self._fk(self.smpl, jnp.asarray(padr(p_hat)), jnp.asarray(padr(s_hat)),
-                               jnp.asarray(padr(r_hat)))
+        # device_put (async enqueue) instead of jnp.asarray (blocks one
+        # tunnel RTT per array): the downstream np.asarray readback is the
+        # only sync.
+        d_p, d_s, d_r, d_ph, d_sh, d_rh = jax.device_put(
+            (padr(p), padr(s), padr(r), padr(p_hat), padr(s_hat), padr(r_hat)))
+        _, kp3d = self._fk(self.smpl, d_p, d_s, d_r)
+        _, kp3d_hat = self._fk(self.smpl, d_ph, d_sh, d_rh)
         kp3d = kp3d[:, : C.N_JOINTS + 1]
         kp3d_hat = kp3d_hat[:, : C.N_JOINTS + 1]
 
         eucl, eucl_pa = _eucl_dists(kp3d, kp3d_hat)
         self.eucl_dists.append(np.asarray(eucl)[:count])
         self.eucl_dists_pa.append(np.asarray(eucl_pa)[:count])
-        angles = self._angles(jnp.asarray(padr(p)), jnp.asarray(padr(p_hat)))
+        angles = self._angles(d_p, d_ph)
         self.angle_diffs.append(np.asarray(angles)[:count])
 
     def compute_joint_dist(self, joints, joints_hat, seq_lengths=None, frame_mask=None):
