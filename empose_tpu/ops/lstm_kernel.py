@@ -226,6 +226,225 @@ def fits_vmem_bidi(hidden: int) -> bool:
     return 2 * hidden * 4 * hidden * 4 <= _VMEM_WEIGHT_BUDGET
 
 
+# ---------------------------------------------------------------------------
+# Wavefront (software-pipelined) weight-resident stack kernel.
+#
+# The straight stack kernel above runs layer l AFTER layer l-1 within each
+# grid step, so one step's critical path is num_layers dependent
+# gate-matmul chains (3 dependent MXU dots for the released 2x512 stack:
+# layer-0 gates -> layer-1 input projection -> layer-1 gates). At small
+# batch each dot is latency- not throughput-bound, so dependent dots add
+# up. Here layer l processes time t-l instead (the same reorder as
+# nn.layers._lstm_stack_scan_wavefront, where it is gated to large batch
+# because the scan pays pipe-state shuffling through HBM each step — in a
+# Pallas kernel the pipe lives in a VMEM-resident block, so the reorder is
+# free). All per-step dots are then mutually independent, and because a
+# deeper layer's input now comes from the PREVIOUS grid step, its input
+# projection and gate matmul fuse into ONE dot against the concatenated
+# [w_ih; w_hh] weight (same FLOPs, half the dispatches): per step exactly
+# num_layers independent dots. Grid is F + L - 1 steps (fill/drain).
+
+
+def _make_wavefront_kernel(num_layers: int, hidden: int, precision):
+    """Ref order: x0_proj block (clamped index map — drain steps re-read the
+    last row, fully masked), m_all block (per-layer shifted masks, zero
+    where time t-l is out of range), w_hh0, w_cat (deeper layers'
+    [w_ih; w_hh]), b_up, h0s, c0s, then outputs outs block, hF, cF, pipe
+    (the VMEM-resident wavefront state)."""
+
+    def kernel(x0_ref, m_ref, w_hh0_ref, w_cat_ref, b_up_ref, h0_ref, c0_ref,
+               out_ref, hf_ref, cf_ref, pipe_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            hf_ref[:] = h0_ref[:]
+            cf_ref[:] = c0_ref[:]
+            pipe_ref[:] = jnp.zeros_like(pipe_ref)
+
+        # Read the wavefront state BEFORE overwriting: pipe[l-1] is layer
+        # l-1's output from the previous grid step = layer l's input now.
+        pipe = pipe_ref[:]
+        outs = []
+        for l in range(num_layers):
+            m = m_ref[0, l]  # (N, 1): 1.0 iff time t-l is a valid frame
+            h, c = hf_ref[l], cf_ref[l]
+            if l == 0:
+                gates = x0_ref[0] + jnp.dot(h, w_hh0_ref[:],
+                                            preferred_element_type=jnp.float32,
+                                            precision=precision)
+            else:
+                inp = jnp.concatenate([pipe[l - 1], h], axis=-1)  # (N, 2H)
+                gates = jnp.dot(inp, w_cat_ref[l - 1],
+                                preferred_element_type=jnp.float32,
+                                precision=precision) + b_up_ref[l - 1]
+            i = _sigmoid(gates[:, :hidden])
+            f = _sigmoid(gates[:, hidden:2 * hidden])
+            g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o = _sigmoid(gates[:, 3 * hidden:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            hf_ref[l] = jnp.where(m > 0, h_new, h)
+            cf_ref[l] = jnp.where(m > 0, c_new, c)
+            outs.append(h_new * m)
+        for l in range(num_layers - 1):
+            pipe_ref[l] = outs[l]
+        # Steps t < L-1 write warmup zeros into block 0; step L-1 overwrites
+        # it with the real time-0 output before the block is flushed.
+        out_ref[0] = outs[-1]
+
+    return kernel
+
+
+def _pallas_wavefront(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
+                      *, num_layers: int, hidden: int, interpret: bool,
+                      precision):
+    f, n = x0_proj.shape[0], x0_proj.shape[1]
+    kernel = _make_wavefront_kernel(num_layers, hidden, precision)
+    pad = num_layers - 1
+
+    outs, hF, cF, _ = pl.pallas_call(
+        kernel,
+        grid=(f + pad,),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, n, hidden), x0_proj.dtype),
+            jax.ShapeDtypeStruct((num_layers, n, hidden), x0_proj.dtype),
+            jax.ShapeDtypeStruct((num_layers, n, hidden), x0_proj.dtype),
+            jax.ShapeDtypeStruct((max(pad, 1), n, hidden), x0_proj.dtype),
+        ),
+        in_specs=[
+            # Clamped: drain steps (t >= F, layer 0 fully masked) re-read the
+            # last row instead of running off the array.
+            pl.BlockSpec((1, n, 4 * hidden),
+                         lambda t: (jnp.minimum(t, f - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_layers, n, 1), lambda t: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, 4 * hidden), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(pad, 1), 2 * hidden, 4 * hidden),
+                         lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(pad, 1), 1, 4 * hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # Clamped index map: warmup steps revisit block 0 (see kernel).
+            pl.BlockSpec((1, n, hidden),
+                         lambda t: (jnp.maximum(t - pad, 0), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # The wavefront pipe: VMEM-resident for the whole grid (constant
+            # index map, the same carry trick as hF/cF); content discarded.
+            pl.BlockSpec((max(pad, 1), n, hidden), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s)
+    return outs, hF, cF
+
+
+@lru_cache(maxsize=None)
+def _partitioned_wavefront(num_layers: int, hidden: int, interpret: bool,
+                           precision):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    run = partial(_pallas_wavefront, num_layers=num_layers, hidden=hidden,
+                  interpret=interpret, precision=precision)
+
+    def impl(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s):
+        return run(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s)
+
+    # Batch-parallel over n (dim 1 of x0_proj); weights replicated. m_all's
+    # padded frame axis (f+L-1) differs from the true frame axis f, so it
+    # carries its own factor p.
+    rule = ("f n g, p l n u, h g, k v g, k o g, l n h, l n h "
+            "-> f n h, l n h, l n h")
+    weight_args = (2, 3, 4)
+    fcp = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        rep = NamedSharding(mesh, P())
+        shardings = []
+        for i, a in enumerate(arg_shapes):
+            if i in weight_args:
+                shardings.append(rep)
+            else:
+                spec = [None] * len(a.shape)
+                spec[1 if i == 0 else (2 if i == 1 else 1)] = batch
+                shardings.append(NamedSharding(mesh, P(*spec)))
+        bsh = NamedSharding(mesh, P(None, batch, None))
+        return mesh, impl, (bsh, bsh, bsh), tuple(shardings)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        bsh = NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
+        return (bsh, bsh, bsh)
+
+    fcp.def_partition(partition=partition,
+                      infer_sharding_from_operands=infer_sharding_from_operands,
+                      sharding_rule=rule)
+    return fcp
+
+
+@partial(jax.jit, static_argnames=("num_layers", "hidden", "interpret", "precision"))
+def _run_wavefront(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
+                   *, num_layers: int, hidden: int, interpret: bool, precision):
+    fcp = _partitioned_wavefront(num_layers, hidden, interpret, precision)
+    return fcp(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s)
+
+
+def lstm_stack_pallas_wavefront(cells: List[dict], x: jnp.ndarray,
+                                mask: jnp.ndarray, h0s: jnp.ndarray,
+                                c0s: jnp.ndarray, *,
+                                precision=lax.Precision.HIGHEST,
+                                interpret: bool = False):
+    """Wavefront weight-resident forward of a unidirectional LSTM stack.
+
+    Same contract and semantics as :func:`lstm_stack_pallas` (identical
+    outputs/finals — the same computation reordered so each grid step's
+    matmuls are mutually independent; see the schedule notes above).
+    Requires ``len(cells) >= 2`` — at one layer the schedules coincide, use
+    :func:`lstm_stack_pallas`.
+    """
+    L_n = len(cells)
+    assert L_n >= 2, "wavefront schedule needs >= 2 layers"
+    hidden = cells[0]["w_hh"].shape[0]
+    f, n = x.shape[0], x.shape[1]
+    pad = L_n - 1
+
+    x0_proj = jnp.matmul(x, cells[0]["w_ih"], precision=precision) \
+        + cells[0]["b_ih"] + cells[0]["b_hh"]
+    # m_all[t, l] = mask[t - l] when 0 <= t-l < F else 0: each layer's valid
+    # mask at its wavefront time, precomputed so the kernel never indexes
+    # dynamically.
+    mask_col = mask[:, :, None].astype(x.dtype)          # (F, N, 1)
+    zeros = jnp.zeros_like(mask_col[:1])
+    m_all = jnp.stack([
+        jnp.concatenate([jnp.tile(zeros, (l, 1, 1)), mask_col,
+                         jnp.tile(zeros, (pad - l, 1, 1))])
+        for l in range(L_n)], axis=1)                    # (F+pad, L, N, 1)
+
+    w_hh0 = cells[0]["w_hh"]
+    w_cat = jnp.stack([jnp.concatenate([cells[l]["w_ih"], cells[l]["w_hh"]])
+                       for l in range(1, L_n)])          # (L-1, 2H, 4H)
+    b_up = jnp.stack([(cells[l]["b_ih"] + cells[l]["b_hh"])[None]
+                      for l in range(1, L_n)])           # (L-1, 1, 4H)
+
+    outs, hF, cF = _run_wavefront(
+        x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
+        num_layers=L_n, hidden=hidden, interpret=interpret,
+        precision=precision)
+    return outs, (hF, cF)
+
+
 def _make_bidi_kernel(hidden: int, precision):
     """One bidirectional layer: the two directions are mutually independent,
     so both cell updates run inside the same grid step (two MXU dots per

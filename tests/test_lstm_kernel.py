@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from empose_tpu.nn import layers as L
 from empose_tpu.ops.lstm_kernel import (fits_vmem, fits_vmem_bidi,
                                         lstm_bidi_layer_pallas,
-                                        lstm_stack_pallas)
+                                        lstm_stack_pallas,
+                                        lstm_stack_pallas_wavefront)
 
 
 def _ref_scan(cells, x, mask, h0s, c0s):
@@ -48,6 +49,65 @@ def test_kernel_matches_scan(num_layers):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
     np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
+
+
+@pytest.mark.parametrize("num_layers", [2, 3])
+def test_wavefront_kernel_matches_scan(num_layers):
+    """The wavefront schedule is the same computation reordered: outputs,
+    final states, and masked-freeze semantics identical to the scan,
+    including zero-length / 1-frame sequences and carried init state."""
+    rng = np.random.RandomState(40 + num_layers)
+    f, n, i, h = 12, 8, 20, 128
+    params = L.lstm_init(jax.random.PRNGKey(11), i, h, num_layers)
+    cells = [layer["fwd"] for layer in params["layers"]]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 12, 0, 5, 12, 1, 7])
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+
+    ref_out, ref_h, ref_c = _ref_scan(cells, x, mask, h0, c0)
+    out, (hF, cF) = lstm_stack_pallas_wavefront(cells, x, mask, h0, c0,
+                                                interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
+
+
+def test_wavefront_kernel_batch_sharded():
+    """The wavefront kernel's custom_partitioning rule: batch-sharded ==
+    unsharded, sharding survives to the outputs."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = Mesh(np.array(devs), ("data",))
+
+    rng = np.random.RandomState(41)
+    f, n, i, h, num_layers = 6, 4 * len(devs), 10, 128, 2
+    params = L.lstm_init(jax.random.PRNGKey(12), i, h, num_layers)
+    cells = [layer["fwd"] for layer in params["layers"]]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, f + 1, size=n))
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+
+    ref_out, (ref_h, ref_c) = lstm_stack_pallas_wavefront(
+        cells, x, mask, h0, c0, interpret=True)
+
+    bsh = NamedSharding(mesh, P(None, "data"))
+    ssh = NamedSharding(mesh, P(None, "data", None))
+    out, (hF, cF) = lstm_stack_pallas_wavefront(
+        cells, jax.device_put(x, bsh), jax.device_put(mask, bsh),
+        jax.device_put(h0, ssh), jax.device_put(c0, ssh), interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
+    assert "data" in str(out.sharding.spec), out.sharding
 
 
 @pytest.mark.parametrize("num_layers", [1, 2])
