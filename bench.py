@@ -35,6 +35,37 @@ BATCH = 8
 WINDOW = 256
 N_MARKERS = 6
 
+# TPU v5e (v5 lite) MXU peak: 197 TFLOP/s with bf16 inputs. The headline
+# torch-parity mode runs f32 at Precision.HIGHEST (multiple bf16 passes per
+# f32 product), so its pct-of-roofline vs the bf16 peak UNDERSTATES the MXU
+# utilization by the pass count; the bf16 rows are the like-for-like ones.
+PEAK_BF16_TFLOPS = 197.0
+
+
+def _xla_flops(lowerable, *args, **kw):
+    """Total FLOPs of one call per XLA's HLO cost model, or None if the
+    backend doesn't expose cost analysis. This is the compiler's count of
+    the ACTUAL lowered program (fusion-aware), not a hand model."""
+    try:
+        ca = lowerable.lower(*args, **kw).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _efficiency_rows(flops_per_frame, fps):
+    """MFU bookkeeping rows for a given per-frame FLOP count and rate."""
+    if not flops_per_frame or not fps:
+        return {}
+    achieved = flops_per_frame * fps
+    return {
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "pct_of_bf16_roofline": round(achieved / (PEAK_BF16_TFLOPS * 1e12) * 100, 3),
+    }
+
 
 def bench_config():
     """The RELEASED LGD-RNN-6 architecture (reference README.md:210-228):
@@ -93,6 +124,7 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
     w = {k: jax.numpy.asarray(v) for k, v in make_window(rng, batch, window).items()}
 
     results = {}
+    flops_per_frame = None
     entry_nn, entry_fk = L._HI, FK._HI  # restore the caller's (possibly
     try:                                # env-selected) precisions on exit
         for prec in precisions:
@@ -114,6 +146,12 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
             outs = fwd(params, state, w, carry)
             carry = outs[-1]
             jax.block_until_ready(outs[0])
+            if flops_per_frame is None:
+                # Steady-state program (carry present); FLOPs are
+                # precision-independent in XLA's count.
+                f_call = _xla_flops(fwd, params, state, w, carry)
+                if f_call:
+                    flops_per_frame = f_call / (batch * window)
             for _ in range(warmup):
                 outs = fwd(params, state, w, outs[-1])
             jax.block_until_ready(outs[0])
@@ -128,7 +166,7 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
             results[prec] = batch * window * iters / best
     finally:
         L._HI, FK._HI = entry_nn, entry_fk
-    return results
+    return results, flops_per_frame
 
 
 def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
@@ -150,6 +188,8 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = opt_init(params)
     batch = GE._tiny_batch(np.random.RandomState(0), n=config.bs_train, f=config.window_size)
+    f_call = _xla_flops(step, params, state, opt_state, batch, jax.random.PRNGKey(0))
+    flops_per_frame = f_call / (bs * window) if f_call else None
 
     repeats = 4
     keys = [jax.random.PRNGKey(i) for i in range(warmup + repeats * iters)]
@@ -172,7 +212,7 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
             k += 1
         jax.block_until_ready(vals["total_loss"])
         best = min(best, time.perf_counter() - start)
-    return float(best / iters * 1000.0)
+    return float(best / iters * 1000.0), flops_per_frame
 
 
 def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
@@ -237,20 +277,27 @@ def main():
             baseline = json.load(f)
 
     default_regime = args.batch == BATCH and args.window == WINDOW
-    fps = run_tpu(args.batch, args.window, args.iters)["highest"]
+    lat, flops_frame = run_tpu(args.batch, args.window, args.iters)
+    fps = lat["highest"]
     result = {
         "metric": "lgd_rnn6_inference_frames_per_sec",
         "value": round(fps, 2),
         "unit": "frames/s",
-        # The baseline is pinned at batch 8 x window 256; a custom regime
-        # would make the ratio apples-to-oranges, so report it only when
-        # like-for-like.
+        # The baseline is pinned at batch 8 x window 256 on THIS 1-CPU host
+        # (baseline JSON records n_threads); a custom regime would make the
+        # ratio apples-to-oranges, so report it only when like-for-like.
         "vs_baseline": (round(fps / baseline["torch_cpu_fps"], 2)
                         if baseline and default_regime else None),
         "batch": args.batch,
         "window": args.window,
         "baseline": baseline,
     }
+    # Efficiency accounting (XLA cost-model FLOPs of the lowered program):
+    # how far each mode sits from the chip's MXU roofline, not just speedup.
+    if flops_frame:
+        result["inference_flops_per_frame"] = round(flops_frame)
+        result.update({"latency_" + k: v
+                       for k, v in _efficiency_rows(flops_frame, fps).items()})
     if default_regime:
         # Extra rows (skipped for custom regimes — no point paying extra
         # compiles for rows the caller didn't ask about). The bf16 row is
@@ -259,17 +306,29 @@ def main():
         # headline stays at torch-parity precision. bf16 is only reported for throughput mode
         # — in latency mode (batch 8) the serial-scan dispatch dominates and
         # the bf16 delta is inside run-to-run variance.
-        thr = run_tpu(64, args.window, args.iters, precisions=("highest", "default"))
+        thr, thr_flops = run_tpu(64, args.window, args.iters,
+                                 precisions=("highest", "default"))
         result["throughput_batch64_fps"] = round(thr["highest"], 2)
         result["bf16_throughput_batch64_fps"] = round(thr["default"], 2)
-        result["train_step_ms_bs12_w32"] = round(run_train_step_tpu(), 2)
+        thr_flops = thr_flops or flops_frame
+        if thr_flops:
+            result.update({"throughput_" + k: v for k, v in
+                           _efficiency_rows(thr_flops, thr["highest"]).items()})
+            result.update({"bf16_throughput_" + k: v for k, v in
+                           _efficiency_rows(thr_flops, thr["default"]).items()})
+        tr_ms, tr_flops = run_train_step_tpu()
+        result["train_step_ms_bs12_w32"] = round(tr_ms, 2)
         # Large-batch training throughput (frames/s trained), where the
         # differentiable weight-resident LSTM kernel pair carries the
         # recurrence (ops/lstm_train_kernel.py).
         tt_bs, tt_w = 64, 64
-        tt_ms = run_train_step_tpu(bs=tt_bs, window=tt_w)
-        result["train_throughput_bs64_w64_fps"] = round(
-            tt_bs * tt_w / (tt_ms / 1e3), 2)
+        tt_ms, tt_flops = run_train_step_tpu(bs=tt_bs, window=tt_w)
+        tt_fps = tt_bs * tt_w / (tt_ms / 1e3)
+        result["train_throughput_bs64_w64_fps"] = round(tt_fps, 2)
+        if tt_flops:
+            result["train_flops_per_frame"] = round(tt_flops)
+            result.update({"train_" + k: v for k, v in
+                           _efficiency_rows(tt_flops, tt_fps).items()})
     print(json.dumps(result))
 
 

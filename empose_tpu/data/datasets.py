@@ -120,29 +120,34 @@ class Loader:
             yield self.collate_fn([self.dataset[int(i)] for i in chunk])
 
     def __iter__(self) -> Iterator[Dict]:
-        if self.prefetch <= 0:
-            yield from self._batches()
-            return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
+        yield from _prefetch_iter(self._batches(), self.prefetch)
 
-        def producer():
-            try:
-                for b in self._batches():
-                    q.put(b)
-                q.put(sentinel)
-            except BaseException as e:  # surfaced in the consumer, not lost
-                q.put(e)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+def _prefetch_iter(gen: Iterator, prefetch: int) -> Iterator:
+    """Drain ``gen`` on a background thread, ``prefetch`` items ahead."""
+    if prefetch <= 0:
+        yield from gen
+        return
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    sentinel = object()
+
+    def producer():
+        try:
+            for b in gen:
+                q.put(b)
+            q.put(sentinel)
+        except BaseException as e:  # surfaced in the consumer, not lost
+            q.put(e)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def make_real_loader(data_dir: Optional[str] = None, batch_size: int = 1) -> Loader:
@@ -160,7 +165,8 @@ class EMRBatchLoader:
 
     def __init__(self, path: str, batch_size: int, window_size: int, shuffle: bool = True,
                  seed: int = 0, window_mode: str = "random", pad_multiple: int = 32,
-                 drop_last: bool = False):
+                 drop_last: bool = False, window_rng: Optional[np.random.RandomState] = None,
+                 prefetch: int = 0):
         from empose_tpu.data.emr import EMRReader, NativeEMRBatcher
         if os.path.isdir(path):
             path = os.path.join(path, "corpus.emr")
@@ -171,9 +177,15 @@ class EMRBatchLoader:
         self.window_mode = window_mode
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
+        # Window-crop draws come from their own stream (mirroring the
+        # reference's dedicated extractor RNG, train.py:43) so shuffle order
+        # and crop randomness stay independently seeded/deterministic.
+        self.window_rng = window_rng if window_rng is not None else self.rng
+        self.prefetch = prefetch
         self.drop_last = drop_last
         self.pad_multiple = pad_multiple
         self.n_frames = np.asarray([self.reader.meta(i)["n_frames"] for i in range(len(self.reader))])
+        self.has_joints = len(self.reader) > 0 and "joints" in self.reader.fields(0)
 
     def __len__(self) -> int:
         n = len(self.reader)
@@ -184,7 +196,7 @@ class EMRBatchLoader:
         lengths = np.minimum(nf, self.window_size).astype(np.int32)
         if self.window_mode == "random":
             span = np.maximum(nf - self.window_size, 0)
-            starts = (self.rng.rand(len(indices)) * (span + 1)).astype(np.int64)
+            starts = (self.window_rng.rand(len(indices)) * (span + 1)).astype(np.int64)
         elif self.window_mode == "middle":
             starts = np.maximum(nf // 2 - self.window_size // 2, 0).astype(np.int64)
         else:
@@ -195,13 +207,17 @@ class EMRBatchLoader:
             "ids": [self.reader.meta(int(i))["id"] for i in indices],
             "poses": self.batcher.gather_windows("poses", indices, starts, lengths, pad_f),
             "trans": self.batcher.gather_windows("trans", indices, starts, lengths, pad_f),
-            "joints_gt": self.batcher.gather_windows("joints", indices, starts, lengths, pad_f),
             "shapes": self.batcher.gather_fixed("betas", indices),
             "seq_lengths": lengths,
         }
+        if self.has_joints:
+            batch["joints_gt"] = self.batcher.gather_windows("joints", indices, starts, lengths, pad_f)
+        else:  # corpora without precomputed joints (collate_amass zero-fills too)
+            batch["joints_gt"] = np.zeros(
+                (len(indices), pad_f, (C.N_JOINTS + 1) * 3), np.float32)
         return batch
 
-    def __iter__(self):
+    def _batches(self) -> Iterator[Dict]:
         idx = np.arange(len(self.reader))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -210,3 +226,6 @@ class EMRBatchLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 return
             yield self._make_batch(chunk)
+
+    def __iter__(self):
+        yield from _prefetch_iter(self._batches(), self.prefetch)

@@ -413,9 +413,17 @@ def lstm_stack_pallas_wavefront(cells: List[dict], x: jnp.ndarray,
     matmuls are mutually independent; see the schedule notes above).
     Requires ``len(cells) >= 2`` — at one layer the schedules coincide, use
     :func:`lstm_stack_pallas`.
+
+    VMEM: weight residency is the same (2L-1)*H*4H floats as
+    :func:`lstm_stack_pallas` plus the (L-1, N, 2H) pipe block — callers
+    must gate on :func:`fits_vmem` (with the same layer/hidden arguments)
+    before selecting this schedule, exactly as nn/layers.py gates the
+    sequential kernel.
     """
     L_n = len(cells)
-    assert L_n >= 2, "wavefront schedule needs >= 2 layers"
+    if L_n < 2:
+        raise ValueError("wavefront schedule needs >= 2 layers "
+                         "(use lstm_stack_pallas for a single layer)")
     hidden = cells[0]["w_hh"].shape[0]
     f, n = x.shape[0], x.shape[1]
     pad = L_n - 1

@@ -253,7 +253,11 @@ class Trainer:
         me = metrics_engine
         if me is not None:
             me.reset()
-        agg, n_samples = {}, 0
+        # Loss scalars stay ON DEVICE for the whole pass and flush in one
+        # batched device_get at the end — a float() per loss name per batch
+        # is a device->host sync each (a tunnel round-trip here), the same
+        # fix the train loop's pending-scalars queue applies (see fit()).
+        pending, n_samples = [], 0
         eval_base = jax.random.PRNGKey(8004)
         for b_idx, host_batch in enumerate(loader):
             k = jax.random.fold_in(eval_base, b_idx)
@@ -261,8 +265,7 @@ class Trainer:
                 {k2: v for k2, v in host_batch.items() if k2 != "ids"})
             out, vals, _ = self._eval_forward(self.params, self.state, batch, k)
             bs = host_batch["poses"].shape[0]
-            for name, v in vals.items():
-                agg[name] = agg.get(name, 0.0) + float(v) * bs
+            pending.append((vals, bs))
             n_samples += bs
             if me is not None:
                 normed = T.normalize_root(batch)
@@ -271,6 +274,11 @@ class Trainer:
                            None if out.get("shape_hat") is None else np.asarray(out["shape_hat"]),
                            host_batch["seq_lengths"],
                            np.asarray(normed["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]))
+        agg: Dict[str, float] = {}
+        for vals, bs in zip(jax.device_get([v for v, _ in pending]),
+                            [b for _, b in pending]):
+            for name, v in vals.items():
+                agg[name] = agg.get(name, 0.0) + float(v) * bs
         return {k2: v / max(n_samples, 1) for k2, v in agg.items()}
 
     def evaluate_test(self, loader, metrics_engine: Optional[MetricsEngine] = None,
@@ -280,7 +288,9 @@ class Trainer:
         session = EvalSession(self.model, self.params, self.state, self.sensor)
         if metrics_engine is not None:
             metrics_engine.reset()
-        agg, n_samples = {}, 0
+        # Per-chunk loss scalars stay on device; one batched device_get per
+        # PASS at the end (same treatment as evaluate_valid / fit()).
+        pending, n_samples = [], 0
         for host_batch in loader:
             device_batch = jax.device_put(  # async upload (see train_step)
                 {k2: v for k2, v in host_batch.items() if k2 != "ids"})
@@ -290,11 +300,10 @@ class Trainer:
                 hb = pad_time(hb, _round_up(hb["poses"].shape[1], 256))
             carry = self.model.initial_carry()
             first_shape = None
-            seq_vals, n_chunks = {}, 0
+            chunk_vals, n_chunks = [], 0
             for c, (chunk, _) in enumerate(window_generator(hb, window_size)):
                 out, vals, carry = session.forward_chunk(chunk, carry)
-                for name, v in vals.items():
-                    seq_vals[name] = seq_vals.get(name, 0.0) + float(v)
+                chunk_vals.append(vals)
                 n_chunks += 1
                 shape_hat = out.get("shape_hat")
                 if c == 0:
@@ -307,9 +316,16 @@ class Trainer:
                         np.asarray(chunk["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]),
                         frame_mask=np.asarray(chunk["marker_masks"]))
             bs = host_batch["poses"].shape[0]
-            for name, v in seq_vals.items():
-                agg[name] = agg.get(name, 0.0) + v / max(n_chunks, 1) * bs
+            pending.append((chunk_vals, n_chunks, bs))
             n_samples += bs
+        agg: Dict[str, float] = {}
+        flat = jax.device_get([v for cv, _, _ in pending for v in cv])
+        pos = 0
+        for chunk_vals, n_chunks, bs in pending:
+            for vals in flat[pos:pos + len(chunk_vals)]:
+                for name, v in vals.items():
+                    agg[name] = agg.get(name, 0.0) + float(v) / max(n_chunks, 1) * bs
+            pos += len(chunk_vals)
         return {k2: v / max(n_samples, 1) for k2, v in agg.items()}
 
     # ------------------------------------------------------------------

@@ -26,8 +26,8 @@ def main(config, max_steps=None):
     force_synchronous_dispatch()
     import numpy as np
     from empose_tpu import constants as C
-    from empose_tpu.data.batches import collate_amass, collate_real
-    from empose_tpu.data.datasets import EMRSequenceDataset, Loader, RealDataset
+    from empose_tpu.data.batches import collate_real
+    from empose_tpu.data.datasets import EMRBatchLoader, Loader, RealDataset
     from empose_tpu.train.loop import Trainer, fit
     from empose_tpu.utils import experiments as U
     from empose_tpu.utils.logging import ScalarWriter
@@ -35,15 +35,20 @@ def main(config, max_steps=None):
     if config.seed is None:
         config.seed = int(time.time())
 
-    # Data (reference train.py:42-69).
+    # Data (reference train.py:42-69). Training batches come straight off the
+    # mmap'd EMR corpus through the C++ multithreaded window gather
+    # (EMRBatchLoader) with background-thread prefetch — no per-sample Python
+    # objects or collate on the hot path. Window crops draw from a dedicated
+    # extractor stream (reference train.py:43 seeds its extractor 4313);
+    # shuffle order draws from config.seed.
     rng_extractor = np.random.RandomState(4313)
-    train_data = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "amass_emr"),
-                                    window_size=config.window_size, window_mode="random",
-                                    rng=rng_extractor)
-    valid_data = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "3dpw_emr"),
-                                    window_size=config.window_size, window_mode="middle")
-    train_loader = Loader(train_data, config.bs_train, collate_amass, shuffle=True, seed=config.seed)
-    valid_loader = Loader(valid_data, config.bs_eval, collate_amass, shuffle=False)
+    train_loader = EMRBatchLoader(os.path.join(C.data_dir_synth(), "amass_emr"),
+                                  config.bs_train, config.window_size, shuffle=True,
+                                  seed=config.seed, window_mode="random",
+                                  window_rng=rng_extractor, prefetch=2)
+    valid_loader = EMRBatchLoader(os.path.join(C.data_dir_synth(), "3dpw_emr"),
+                                  config.bs_eval, config.window_size, shuffle=False,
+                                  window_mode="middle", prefetch=2)
     test_data = RealDataset(C.data_dir_real())
     test_loader = Loader(test_data, 1, collate_real, shuffle=False)
 

@@ -255,3 +255,35 @@ def test_bidi_kernel_batch_sharded():
     np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), atol=1e-6)
     np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), atol=1e-6)
     assert "data" in str(out.sharding.spec), out.sharding
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="hardware parity check needs the real TPU "
+                           "(run with EMPOSE_TEST_PLATFORM=axon)")
+def test_wavefront_kernel_hardware_parity():
+    """COMPILED (non-interpret) wavefront kernel == compiled sequential
+    kernel == scan on the real chip. The wavefront's clamped output index
+    map (warmup steps re-writing block 0 until the index changes) is
+    exactly where interpreter and hardware pipelining semantics can
+    diverge, so interpret-mode parity alone does not cover it
+    (ADVICE r02)."""
+    rng = np.random.RandomState(7)
+    f, n, i, h = 24, 8, 20, 128
+    params = L.lstm_init(jax.random.PRNGKey(2), i, h, 3)
+    cells = [layer["fwd"] for layer in params["layers"]]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([24, 17, 24, 0, 5, 24, 1, 12])
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(3, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(3, n, h).astype(np.float32) * 0.1)
+
+    ref_out, ref_h, ref_c = _ref_scan(cells, x, mask, h0, c0)
+    seq_out, (seq_h, seq_c) = lstm_stack_pallas(cells, x, mask, h0, c0,
+                                                interpret=False)
+    wf_out, (wf_h, wf_c) = lstm_stack_pallas_wavefront(cells, x, mask, h0, c0,
+                                                       interpret=False)
+
+    for got, want in ((seq_out, ref_out), (seq_h, ref_h), (seq_c, ref_c),
+                      (wf_out, ref_out), (wf_h, ref_h), (wf_c, ref_c)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

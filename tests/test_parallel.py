@@ -147,3 +147,38 @@ def test_dp_step_matches_single_device():
     l8 = jax.tree_util.tree_leaves(p8)
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_multihost_dp_step_two_processes():
+    """Multi-host (DCN) path exercised for real: two OS processes, 2 CPU
+    devices each, jax.distributed via parallel.mesh.init_distributed, one
+    fused DP training step with the batch sharded over the GLOBAL 4-device
+    mesh. The gradient all-reduce crosses the process boundary (gloo on
+    CPU; DCN on a real slice). Each worker asserts the DP loss matches a
+    single-process full-batch step (tools/multihost_worker.py)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tools", "multihost_worker.py")
+    port = 53219
+    env = dict(os.environ)
+    # The worker forces its own platform/device-count before importing jax.
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), "2", str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              env=env, text=True)
+             for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert "MULTIHOST DP OK" in out, out
