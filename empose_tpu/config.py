@@ -76,7 +76,15 @@ _FLAG_SPECS = [
     ("load", False, dict(action="store_true", help="Whether to load the model with the given ID.")),
     # TPU-native additions (absent from reference configs; defaults keep parity).
     ("dp_devices", 1, dict(type=int, help="Data-parallel device count (shard_map over a 1D mesh).")),
-    ("bf16", False, dict(action="store_true", help="Run matmuls in bfloat16 where safe.")),
+    ("bf16", False, dict(action="store_true", help="Run matmuls in bfloat16 where safe "
+                                                   "(alias for --matmul_precision default).")),
+    ("matmul_precision", "highest", dict(choices=("highest", "high", "default"),
+                                         help="NN + lane-FK GEMM precision: 'highest' = "
+                                              "f32-on-MXU torch-parity mode; 'high' = "
+                                              "3-pass bf16 (near-f32-exact, ~2x MXU "
+                                              "throughput, same parity tolerances on the "
+                                              "validated battery); 'default' = bf16-input "
+                                              "fast mode.")),
     ("resume", False, dict(action="store_true", help="Resume full training state from the latest checkpoint.")),
     ("profile_dir", None, dict(help="If set, capture a jax.profiler trace into this directory.")),
     ("remat", False, dict(action="store_true", help="Rematerialize FK inside the LGD loop "

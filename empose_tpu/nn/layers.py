@@ -84,6 +84,121 @@ def batch_norm_init(key, size: int, uniform_weight: bool = True) -> Tuple[Params
     return params, state
 
 
+# --- custom-VJP train-mode BatchNorm core ----------------------------------
+# XLA's autodiff of the two-pass (mean, then var) stats formulation emits a
+# multi-pass pullback with several full-size intermediates; at the training
+# shapes (16k+ rows x 512 features, 5 BN sites per MLP) those HBM passes
+# dominate the MLP backward. The analytic BN gradient needs ONE fused
+# reduction pass (S1 = sum dy, S2 = sum dy*xhat) plus ONE elementwise pass:
+#
+#   dx_i = scale*r * (dy_i - m_i/c * (S1 + xhat_i * S2))      r = rsqrt(var+eps)
+#   dscale = S2, dbias = S1
+#
+# where S1/S2 run over ALL rows (every row's output depends on the stats) and
+# m_i/c gates the stats feedback to rows that contributed to them. The
+# forward math is kept bit-identical to the previous two-pass formulation.
+# ``scale``/``bias`` arrive keepdims-broadcast-shaped so the same core serves
+# both the (rows, H) layout of ``batch_norm_apply`` and the per-net (2, B, H)
+# layout of ``_stacked_bn``; ``axes`` (static) are the reduction axes.
+
+from functools import partial as _partial
+
+
+def _bn_stats_contribution(x, mean, ct_mean, ct_var, inv, mw=None):
+    """Pullback of the returned (mean, biased var) outputs into dx — the
+    running-stat update consumes them, so their cotangents (normally zero:
+    the optimizer never differentiates through carried state) must still be
+    routed: d mean/dx_i = m_i/c, d var/dx_i = m_i * 2(x_i - mean)/c."""
+    contrib = inv * ct_mean + (2.0 * inv) * (x - mean) * ct_var
+    return contrib if mw is None else mw * contrib
+
+
+def _one_pass_stats(x, axes):
+    """mean and biased var in ONE read of x: the E[x] and E[x^2] reductions
+    are independent, so XLA fuses them into a single multi-output pass (the
+    textbook two-pass var needs a second read after mean resolves). The
+    E[x^2] - mean^2 cancellation error is ~|mean|^2 * 2^-24 — orders below
+    the 1e-5 parity tolerances at these activation magnitudes; clamped at 0
+    for safety."""
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    mean_sq = jnp.mean(jnp.square(x), axis=axes, keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bn_core(axes, x, scale, bias):
+    mean, var = _one_pass_stats(x, axes)
+    y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
+    return y, mean, var
+
+
+def _bn_core_fwd(axes, x, scale, bias):
+    mean, var = _one_pass_stats(x, axes)
+    y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
+    return (y, mean, var), (x, scale, mean, var)
+
+
+def _bn_core_bwd(axes, res, cts):
+    x, scale, mean, var = res
+    dy, ct_mean, ct_var = cts
+    count = 1
+    for a in axes:
+        count *= x.shape[a]
+    inv = 1.0 / count
+    r = lax.rsqrt(var + BN_EPS)
+    xhat = (x - mean) * r
+    S1 = jnp.sum(dy, axis=axes, keepdims=True)
+    S2 = jnp.sum(dy * xhat, axis=axes, keepdims=True)
+    dx = (scale * r) * (dy - inv * (S1 + xhat * S2)) \
+        + _bn_stats_contribution(x, mean, ct_mean, ct_var, inv)
+    return dx, S2, S1
+
+
+_bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
+
+
+def _one_pass_stats_masked(x, axes, mw):
+    """Masked one-pass stats (see _one_pass_stats): sum(x*m) and sum(x^2*m)
+    fuse into a single read; padded rows carry m == 0 and contribute exactly
+    zero, preserving the DP-padding exactness contract."""
+    count = jnp.maximum(jnp.sum(mw), 1.0)
+    mean = jnp.sum(x * mw, axis=axes, keepdims=True) / count
+    mean_sq = jnp.sum(jnp.square(x) * mw, axis=axes, keepdims=True) / count
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var, count
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bn_core_masked(axes, x, scale, bias, mw):
+    mean, var, _ = _one_pass_stats_masked(x, axes, mw)
+    y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
+    return y, mean, var
+
+
+def _bn_core_masked_fwd(axes, x, scale, bias, mw):
+    mean, var, count = _one_pass_stats_masked(x, axes, mw)
+    y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
+    return (y, mean, var), (x, scale, mean, var, mw, count)
+
+
+def _bn_core_masked_bwd(axes, res, cts):
+    x, scale, mean, var, mw, count = res
+    dy, ct_mean, ct_var = cts
+    inv = 1.0 / count
+    r = lax.rsqrt(var + BN_EPS)
+    xhat = (x - mean) * r
+    S1 = jnp.sum(dy, axis=axes, keepdims=True)
+    S2 = jnp.sum(dy * xhat, axis=axes, keepdims=True)
+    dx = (scale * r) * (dy - mw * (inv * (S1 + xhat * S2))) \
+        + _bn_stats_contribution(x, mean, ct_mean, ct_var, inv, mw)
+    # The mask derives from integer seq_lengths — nothing differentiates it.
+    return dx, S2, S1, jnp.zeros_like(mw)
+
+
+_bn_core_masked.defvjp(_bn_core_masked_fwd, _bn_core_masked_bwd)
+
+
 def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool,
                      mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, State]:
     """Torch semantics: biased variance for normalization, unbiased for the
@@ -99,26 +214,26 @@ def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool,
     """
     if train:
         axes = tuple(range(x.ndim - 1))
+        shp = (1,) * (x.ndim - 1) + (-1,)
+        scale_b = params["scale"].reshape(shp)
+        bias_b = params["bias"].reshape(shp)
         if mask is None:
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            y, mean_k, var_k = _bn_core(axes, x, scale_b, bias_b)
             count = x.size // x.shape[-1]
-            unbiased = var * (count / max(count - 1, 1))
+            unbiased = var_k.reshape(-1) * (count / max(count - 1, 1))
         else:
             m = mask.reshape(x.shape[:-1] + (1,)).astype(x.dtype)
             count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=axes) / count
-            var = jnp.sum(jnp.square(x - mean) * m, axis=axes) / count
-            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+            y, mean_k, var_k = _bn_core_masked(axes, x, scale_b, bias_b, m)
+            unbiased = var_k.reshape(-1) * (count / jnp.maximum(count - 1.0, 1.0))
         new_state = {
-            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean_k.reshape(-1),
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
         }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
+        return y, new_state
+    mean, var = state["mean"], state["var"]
     y = (x - mean) * lax.rsqrt(var + BN_EPS) * params["scale"] + params["bias"]
-    return y, new_state
+    return y, state
 
 
 def prelu_init(key) -> Params:
@@ -256,26 +371,23 @@ def _stacked_bn(params_a, params_b, state_a, state_b, y, train, mask=None):
     bias = jnp.stack([params_a["bias"], params_b["bias"]])[:, None]
     if train:
         if mask is None:
-            mean = jnp.mean(y, axis=1, keepdims=True)  # (2, 1, H) per-net stats
-            var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+            out, mean, var = _bn_core((1,), y, scale, bias)  # (2, 1, H) per-net stats
             count = y.shape[1]
             unbiased = var * (count / max(count - 1, 1))
         else:
             m = mask.reshape(1, -1, 1).astype(y.dtype)  # (1, B, 1)
             count = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(y * m, axis=1, keepdims=True) / count
-            var = jnp.sum(jnp.square(y - mean) * m, axis=1, keepdims=True) / count
+            out, mean, var = _bn_core_masked((1,), y, scale, bias, m)
             unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         def upd(state, m, v):
             return {"mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * m,
                     "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * v}
         new_a = upd(state_a, mean[0, 0], unbiased[0, 0])
         new_b = upd(state_b, mean[1, 0], unbiased[1, 0])
-    else:
-        mean = jnp.stack([state_a["mean"], state_b["mean"]])[:, None]
-        var = jnp.stack([state_a["var"], state_b["var"]])[:, None]
-        new_a, new_b = state_a, state_b
-    return (y - mean) * lax.rsqrt(var + BN_EPS) * scale + bias, new_a, new_b
+        return out, new_a, new_b
+    mean = jnp.stack([state_a["mean"], state_b["mean"]])[:, None]
+    var = jnp.stack([state_a["var"], state_b["var"]])[:, None]
+    return (y - mean) * lax.rsqrt(var + BN_EPS) * scale + bias, state_a, state_b
 
 
 def _stacked_prelu(params_a, params_b, y):

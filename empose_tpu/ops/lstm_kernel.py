@@ -47,7 +47,19 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
+def kernel_dot_precision(precision):
+    """Mosaic (the Pallas TPU lowering) implements DEFAULT and HIGHEST dots
+    but raises on HIGH (bf16_3x). In-kernel GEMMs are only the small serial
+    (N, H) x (H, 4H) gate recurrences, so under a HIGH request they clamp to
+    HIGHEST (slightly more exact, same order of cost at these shapes) while
+    the large F*N-row projections OUTSIDE the kernels keep the caller's
+    3-pass HIGH."""
+    from jax import lax as _lax
+    return _lax.Precision.HIGHEST if precision == _lax.Precision.HIGH else precision
+
+
 def _make_kernel(num_layers: int, hidden: int, precision):
+    precision = kernel_dot_precision(precision)
     """Kernel body for a fixed (static) layer count.
 
     Ref order: x0_proj block, mask block, w_hh_all, [w_ih_up, b_up,]
@@ -246,6 +258,7 @@ def fits_vmem_bidi(hidden: int) -> bool:
 
 
 def _make_wavefront_kernel(num_layers: int, hidden: int, precision):
+    precision = kernel_dot_precision(precision)
     """Ref order: x0_proj block (clamped index map — drain steps re-read the
     last row, fully masked), m_all block (per-layer shifted masks, zero
     where time t-l is out of range), w_hh0, w_cat (deeper layers'
@@ -454,6 +467,7 @@ def lstm_stack_pallas_wavefront(cells: List[dict], x: jnp.ndarray,
 
 
 def _make_bidi_kernel(hidden: int, precision):
+    precision = kernel_dot_precision(precision)
     """One bidirectional layer: the two directions are mutually independent,
     so both cell updates run inside the same grid step (two MXU dots per
     step instead of one — better systolic-array occupancy at small batch).

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from empose_tpu.ops.lstm_kernel import (_VMEM_WEIGHT_BUDGET, _PALLAS_OK,
-                                        _batch_axis, _sigmoid)
+                                        _batch_axis, _sigmoid,
+                                        kernel_dot_precision)
 
 if _PALLAS_OK:
     from jax.experimental import pallas as pl
@@ -65,6 +66,7 @@ def fits_vmem_layer(hidden: int) -> bool:
 # streams: x_proj in; gate preactivations + carried (h, c) out.
 
 def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
+    precision = kernel_dot_precision(precision)
     def kernel(xp_ref, m_ref, whh_ref, h0_ref, c0_ref, *rest):
         if save_gates:
             g_ref, h_ref, c_ref, h_s, c_s = rest
@@ -143,6 +145,7 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
 # cotangents + saved gates/c_prev in, dgates out.
 
 def _make_bwd_kernel(hidden: int, precision):
+    precision = kernel_dot_precision(precision)
     def kernel(dh_ref, dc_ref, g_ref, cp_ref, m_ref, whh_ref,
                dg_ref, dh0_ref, dc0_ref):
         # The dh0/dc0 output blocks have constant index maps (VMEM-resident

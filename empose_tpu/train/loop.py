@@ -40,16 +40,22 @@ from empose_tpu.utils.logging import ScalarWriter, StepTimer
 class Trainer:
     def __init__(self, config, seed: Optional[int] = None, match_reference_grads: bool = True):
         self.config = config
+        prec = getattr(config, "matmul_precision", "highest") or "highest"
         if getattr(config, "bf16", False):
-            # The validated bf16 mode: NN GEMMs + lane-major kinematics GEMMs
-            # at Precision.DEFAULT (bf16 inputs on the MXU); 3x3 rotation
-            # algebra stays f32. Accuracy measured end-to-end in README
-            # (sub-0.04mm MPJPE shift; ~21% faster train steps, equivalent
-            # convergence). Module-level knobs — same as setting
-            # EMPOSE_NN_PRECISION=default EMPOSE_FK_PRECISION=default.
-            L.set_nn_precision("default")
+            prec = "default"  # legacy alias
+        if prec != "highest":
+            # Fast training precisions for the NN GEMMs + lane-major
+            # kinematics GEMMs ('default' = bf16 inputs on the MXU, measured
+            # sub-0.04mm MPJPE shift and ~21% faster steps; 'high' = 3-pass
+            # bf16, near-f32-exact — every MODEL-level and gradient torch-
+            # parity test passes on-chip at the 5e-5 tolerances, only the 4
+            # strictest primitive tests (atol 1e-6..2e-5) exceed theirs by
+            # <= 2.6e-5; -20% step time at bs64 x w256, see README).
+            # 3x3 rotation algebra stays f32 either way. Module-level knobs —
+            # same as EMPOSE_NN_PRECISION/EMPOSE_FK_PRECISION.
+            L.set_nn_precision(prec)
             from empose_tpu.ops.fk_lanes import set_fk_precision
-            set_fk_precision("default")
+            set_fk_precision(prec)
         self.seed = int(seed if seed is not None else (config.seed or time.time()))
         self.rng_key = jax.random.PRNGKey(self.seed)
 
@@ -67,7 +73,13 @@ class Trainer:
         # dispatches (each a tunnel round-trip on a remote device); params
         # are bitwise-identical to the eager init.
         self.params, self.state = jax.jit(self.model.init)(k_init)
-        self.opt = optax.adam(config.lr)
+        # flatten(): run the elementwise Adam math over ONE raveled vector
+        # instead of ~100 small per-leaf arrays. Inside the fused step each
+        # tiny-array op carries fixed per-op overhead on TPU; flattening cut
+        # the measured update from ~3.6 ms to ~0.3 ms at 5.7M params
+        # (tools/profile_train.py). Per-element math is unchanged — losses
+        # and the bitwise resume property are identical.
+        self.opt = optax.flatten(optax.adam(config.lr))
         self.opt_state = self.opt.init(self.params)
         self.global_step = 0
         self.epoch = 0

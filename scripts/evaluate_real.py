@@ -73,9 +73,11 @@ if __name__ == "__main__":
                         "marker is suppressed (robustness study).")
     p.add_argument("--suppression_markers", type=int, default=1,
                    help="How many markers are suppressed at a time.")
-    p.add_argument("--precision", choices=("highest", "default"), default="highest",
+    p.add_argument("--precision", choices=("highest", "high", "default"),
+                   default="highest",
                    help="Matmul precision: 'highest' = torch-parity f32 (the "
-                        "Table-2 mode); 'default' = bf16-input fast mode "
+                        "Table-2 mode); 'high' = 3-pass bf16 (near-f32-exact, "
+                        "~2x MXU throughput); 'default' = bf16-input fast mode "
                         "(measured sub-0.04mm MPJPE shift, see README).")
     p.add_argument("--visualize", type=int, default=-1,
                    help="Dump skeleton/mesh artifacts (npz + OBJ) for the sequence with "

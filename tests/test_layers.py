@@ -187,3 +187,97 @@ def test_prelu_and_bn_primitives():
     x = torch.randn(4, 3)
     y_j = L.prelu_apply({"alpha": jnp.asarray(pr.weight.detach().numpy())}, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(y_j), pr(x).detach().numpy(), atol=1e-7)
+
+
+def test_bn_custom_vjp_matches_autodiff():
+    """Train-mode BN runs through a custom VJP (analytic one-reduction-pass
+    backward, layers.py::_bn_core*); its gradients — including the path
+    through the returned running-stat update — must match plain autodiff of
+    the two-pass stats formulation, masked and unmasked, 2D and 3D."""
+    rng = np.random.RandomState(0)
+
+    def reference_bn(p, s, x, m):
+        axes = tuple(range(x.ndim - 1))
+        if m is None:
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean), axis=axes)
+            count = x.size // x.shape[-1]
+            unbiased = var * (count / max(count - 1, 1))
+        else:
+            mm = m.reshape(x.shape[:-1] + (1,)).astype(x.dtype)
+            count = jnp.maximum(jnp.sum(mm), 1.0)
+            mean = jnp.sum(x * mm, axis=axes) / count
+            var = jnp.sum(jnp.square(x - mean) * mm, axis=axes) / count
+            unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+        y = (x - mean) * jax.lax.rsqrt(var + L.BN_EPS) * p["scale"] + p["bias"]
+        ns = {"mean": (1 - L.BN_MOMENTUM) * s["mean"] + L.BN_MOMENTUM * mean,
+              "var": (1 - L.BN_MOMENTUM) * s["var"] + L.BN_MOMENTUM * unbiased}
+        return y, ns
+
+    for shape, mask_shape in [((40, 16), (40,)), ((6, 7, 16), (6, 7))]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        p = {"scale": jnp.asarray(rng.rand(16).astype(np.float32) + 0.5),
+             "bias": jnp.asarray(rng.randn(16).astype(np.float32))}
+        s = {"mean": jnp.asarray(rng.randn(16).astype(np.float32)),
+             "var": jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)}
+        ct = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        ct_m = jnp.asarray(rng.randn(16).astype(np.float32))
+        for m in (None, jnp.asarray((rng.rand(*mask_shape) > 0.3).astype(np.float32))):
+            def loss(fn, px, xx):
+                pp = {**p, **px}
+                y, ns = fn(pp, s, xx, m)
+                # exercise y AND both running-stat outputs
+                return (jnp.sum(y * ct) + jnp.sum(ns["mean"] * ct_m)
+                        + jnp.sum(ns["var"] * ct_m))
+
+            def impl_bn(pp, ss, xx, mm):
+                return L.batch_norm_apply(pp, ss, xx, True, mm)
+
+            args = ({"scale": p["scale"], "bias": p["bias"]}, x)
+            y0, ns0 = reference_bn(p, s, x, m)
+            y1, ns1 = impl_bn(p, s, x, m)
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+            for k in ns0:
+                np.testing.assert_allclose(np.asarray(ns1[k]), np.asarray(ns0[k]), atol=1e-6)
+            g0 = jax.grad(lambda px, xx: loss(reference_bn, px, xx), argnums=(0, 1))(*args)
+            g1 = jax.grad(lambda px, xx: loss(impl_bn, px, xx), argnums=(0, 1))(*args)
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=2e-5)
+
+
+def test_mlp_pair_grads_match_two_applies():
+    """Pair-fused MLP (stacked GEMMs + stacked custom-VJP BN): value AND
+    parameter gradients == two independent mlp_apply calls, train mode with
+    a bn_mask (the LGD training configuration)."""
+    rng = np.random.RandomState(3)
+    k = jax.random.PRNGKey(0)
+    ka, kb = jax.random.split(k)
+    pa, sa = L.mlp_init(ka, 20, 6, 24, num_layers=2, use_batch_norm=True)
+    pb, sb = L.mlp_init(kb, 20, 9, 24, num_layers=2, use_batch_norm=True)
+    x = jnp.asarray(rng.randn(30, 20).astype(np.float32))
+    mask = jnp.asarray((rng.rand(30) > 0.25).astype(np.float32))
+    cta = jnp.asarray(rng.randn(30, 6).astype(np.float32))
+    ctb = jnp.asarray(rng.randn(30, 9).astype(np.float32))
+
+    def loss_pair(params):
+        ya, yb, _, _ = L.mlp_pair_apply(params["a"], params["b"], sa, sb, x,
+                                        skip_connection=True, train=True,
+                                        bn_mask=mask)
+        return jnp.sum(ya * cta) + jnp.sum(yb * ctb)
+
+    def loss_two(params):
+        ya, _ = L.mlp_apply(params["a"], sa, x, skip_connection=True, train=True,
+                            bn_mask=mask)
+        yb, _ = L.mlp_apply(params["b"], sb, x, skip_connection=True, train=True,
+                            bn_mask=mask)
+        return jnp.sum(ya * cta) + jnp.sum(yb * ctb)
+
+    params = {"a": pa, "b": pb}
+    v0, g0 = jax.value_and_grad(loss_two)(params)
+    v1, g1 = jax.value_and_grad(loss_pair)(params)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+    flat0, tree0 = jax.tree_util.tree_flatten(g0)
+    flat1, tree1 = jax.tree_util.tree_flatten(g1)
+    assert tree0 == tree1
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5, rtol=3e-5)

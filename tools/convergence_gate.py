@@ -1,0 +1,172 @@
+"""Recorded convergence + resume gate for the flagship LGD model.
+
+Fails (exit 1) on TRAINING-DYNAMICS regressions, not just numerics:
+
+  1. convergence — train the released LGD-RNN-6 retrain config (reference
+     README.md:210-228) for N steps on the deterministic synthetic corpus and
+     assert held-out MPJPE improves past the recorded threshold;
+  2. resume — kill mid-run (full train-state checkpoint), restore into a
+     fresh Trainer, and assert the post-resume loss curve EQUALS the
+     uninterrupted control step for step (the reference cannot do this at
+     all: it saves optimizer state but never restores it, reference
+     train.py:190-205 vs eval/helpers.py:131-137);
+  3. wall-clock — record mean s/step against the reference's example
+     0.700 s GPU step (reference README.md:230).
+
+Thresholds were recorded on one v5e chip (see README "Convergence gate");
+they carry generous margins so tunnel jitter can't flake the gate, while a
+real dynamics break (loss not dropping, MPJPE flat, resume divergence)
+still fails loudly. Prints one JSON line for machine consumption.
+
+Usage: python tools/convergence_gate.py [--steps N] [--assets DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+# ---- Recorded gate thresholds (flagship LGD, synthetic corpus, seed 17) ----
+# MPJPE before any training sits near 200 mm on this corpus; 600 steps of the
+# flagship config must at least halve it (recorded run: see README table).
+MPJPE_START_MIN = 150.0   # sanity: untrained error must be large
+MPJPE_END_MAX = 120.0     # recorded ~95 mm + generous margin
+RESUME_TOL = 1e-4         # post-resume losses == control, step for step
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--resume_k", type=int, default=30,
+                   help="Steps per phase of the kill/resume check.")
+    p.add_argument("--assets", default="/tmp/gate_assets")
+    args = p.parse_args()
+
+    d = args.assets
+    if not os.path.exists(d):
+        from tools.make_synthetic_assets import generate_all
+        generate_all(d, n_real_sequences=3, n_amass_sequences=40, n_frames=200, seed=3)
+    os.environ["SMPL_MODELS"] = os.path.join(d, "smpl_models")
+    os.environ["EM_DATA_REAL"] = os.path.join(d, "data_real")
+    os.environ["EM_DATA_SYNTH"] = os.path.join(d, "data_synth")
+    os.environ["EM_EXPERIMENTS"] = os.path.join(d, "experiments")
+
+    from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
+    enable_compilation_cache()
+    force_synchronous_dispatch()
+    from empose_tpu.config import Configuration
+    from empose_tpu.data.batches import collate_real
+    from empose_tpu.data.datasets import EMRBatchLoader, Loader, RealDataset
+    from empose_tpu.eval.metrics import MetricsEngine
+    from empose_tpu.train.loop import Trainer
+
+    # Released LGD-RNN-6 retrain hyperparameters (reference README.md:210-228).
+    cfg = Configuration.from_dict(dict(
+        m_type="ief", m_hidden_size=512, m_num_layers=2, m_num_iterations=2,
+        m_use_gradient=True, m_average_shape=True, m_rnn_init=True,
+        m_rnn_hidden_size=512, m_reprojection_loss_weight=0.01, m_fk_loss=0.1,
+        m_pose_loss_weight=10.0, use_marker_pos=True, use_marker_ori=True,
+        use_real_offsets=True, offset_noise_level=0, n_markers=6,
+        window_size=32, bs_train=12, bs_eval=12, lr=5e-4, seed=17))
+
+    corpus = os.path.join(d, "data_synth", "amass_emr")
+    test_loader = Loader(RealDataset(os.environ["EM_DATA_REAL"]), 1,
+                         collate_real, shuffle=False)
+
+    failures = []
+
+    # ---- 1. Convergence ---------------------------------------------------
+    trainer = Trainer(cfg, seed=17)
+    me = MetricsEngine(trainer.smplh)
+
+    def mpjpe():
+        trainer.evaluate_test(test_loader, me, 256)
+        return float(me.get_metrics()["MPJPE [mm]"])
+
+    mpjpe_0 = mpjpe()
+    print(f"MPJPE before training: {mpjpe_0:.2f} mm", flush=True)
+    loader = EMRBatchLoader(corpus, cfg.bs_train, cfg.window_size,
+                            shuffle=True, seed=7, pad_multiple=32, prefetch=2)
+    step, t_steps, t0 = 0, [], time.time()
+    first_loss = last_loss = None
+    while step < args.steps:
+        for b in loader:
+            ts = time.time()
+            vals = trainer.train_step({k: np.asarray(v) for k, v in b.items()
+                                       if k != "ids"})
+            loss = float(vals["total_loss"])  # sync: honest per-step wall-clock
+            if step > 1:
+                t_steps.append(time.time() - ts)
+            if first_loss is None:
+                first_loss = loss
+            last_loss = loss
+            step += 1
+            if step % 200 == 0:
+                print(f"step {step}: loss {loss:.4f} ({time.time()-t0:.0f}s)", flush=True)
+            if step >= args.steps:
+                break
+    mpjpe_N = mpjpe()
+    s_per_step = float(np.mean(t_steps))
+    print(f"MPJPE after {step} steps: {mpjpe_N:.2f} mm "
+          f"({s_per_step*1e3:.1f} ms/step end-to-end)", flush=True)
+
+    if not (mpjpe_0 > MPJPE_START_MIN):
+        failures.append(f"untrained MPJPE {mpjpe_0:.1f} <= {MPJPE_START_MIN} (corpus drifted?)")
+    if not (mpjpe_N < MPJPE_END_MAX):
+        failures.append(f"trained MPJPE {mpjpe_N:.1f} >= {MPJPE_END_MAX}")
+    if not (last_loss < first_loss):
+        failures.append(f"loss did not drop: {first_loss:.4f} -> {last_loss:.4f}")
+
+    # ---- 2. Kill / resume mid-run ------------------------------------------
+    K = args.resume_k
+    fixed = EMRBatchLoader(corpus, cfg.bs_train, cfg.window_size,
+                           shuffle=True, seed=9, pad_multiple=32)
+    batches = []
+    while len(batches) < 2 * K:
+        batches.extend({k: np.asarray(v) for k, v in b.items() if k != "ids"}
+                       for b in fixed)
+    batches = batches[:2 * K]
+
+    def run(tr, n):
+        out = []
+        for b in batches[tr.global_step: tr.global_step + n]:
+            out.append(float(tr.train_step(b)["total_loss"]))
+        return out
+
+    ckpt = os.path.join(d, "gate_ckpt")
+    tA = Trainer(cfg, seed=17)
+    run(tA, K)
+    tA.save(ckpt)
+    tB = Trainer(cfg, seed=999)  # different seed: all state must come from the checkpoint
+    tB.restore(ckpt)
+    post = run(tB, K)
+    tC = Trainer(cfg, seed=17)
+    control = run(tC, 2 * K)
+    resume_diff = float(np.abs(np.asarray(post) - np.asarray(control[K:])).max())
+    print(f"post-resume max |loss diff| vs uninterrupted: {resume_diff:.2e}", flush=True)
+    if not (resume_diff < RESUME_TOL):
+        failures.append(f"resume diverged: {resume_diff:.2e} >= {RESUME_TOL}")
+
+    result = {
+        "gate": "convergence+resume",
+        "steps": args.steps,
+        "mpjpe_before_mm": round(mpjpe_0, 2),
+        "mpjpe_after_mm": round(mpjpe_N, 2),
+        "s_per_step": round(s_per_step, 4),
+        "reference_example_s_per_step": 0.700,
+        "resume_max_loss_diff": resume_diff,
+        "ok": not failures,
+        "failures": failures,
+    }
+    print(json.dumps(result))
+    sys.exit(0 if not failures else 1)
+
+
+if __name__ == "__main__":
+    main()

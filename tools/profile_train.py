@@ -48,6 +48,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--window", type=int, default=256)
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize the FK+sensor block in the backward "
+                        "(the trainer's --remat flag) to measure its "
+                        "time/memory crossover at this shape.")
     args = p.parse_args()
 
     import jax
@@ -60,6 +64,8 @@ def main():
 
     config = GE._flagship_config(tiny=False)
     config.bs_train, config.window_size = args.batch, args.window
+    if args.remat:
+        config.remat = True
     model, sensor = GE._build_model(config)
     step, opt_init = GE.make_train_step(model, sensor, config)
 
@@ -119,7 +125,7 @@ def main():
     t_grad = timeit_chain(grad_step, params)
 
     # --- Adam update alone (natural carry: params + opt state)
-    opt = optax.adam(config.lr)
+    opt = optax.flatten(optax.adam(config.lr))  # matches train/loop.py; opt_state above is flat too
     grads = jax.jit(jax.grad(loss_for_grad))(params, gen, k_model)
 
     @jax.jit
