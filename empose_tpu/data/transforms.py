@@ -189,6 +189,69 @@ def sample_markers_with_offsets(batch: Dict, bank: OffsetBank, key, noise_level:
     return out
 
 
+def smpl_fk_markers_with_offsets(sensor_smpl, batch: Dict, bank: OffsetBank, key,
+                                 noise_level: int, randomize: bool) -> Dict:
+    """Fused lane-major datagen: FK + sensor frames + mounting offsets in ONE
+    lane-domain program.
+
+    Value-equivalent (up to f32 reassociation) to
+    ``smpl_fk_markers`` -> ``sample_markers_with_offsets`` with the SAME key
+    splits and draw shapes, but the offset application stays in lane layout
+    ((M, 3, N) planes, ops/fk_lanes.py) instead of dropping back to row-major
+    ``(n, f, m, 3, 3)`` batched 3x3 matmuls — which a bs64 x w256 trace showed
+    tiling at T(4,128) (~1% occupancy, 1.8 ms for the ori compose alone) plus
+    a 7 MB broadcast of the per-subject rotation offsets. Each output tensor
+    is transposed out of the lane domain exactly once. Reference semantics:
+    transforms.py:259-282 (SMPLFK) + transforms.py:163-226 (offset sampler),
+    same noise-level table as ``sample_markers_with_offsets``.
+    """
+    from empose_tpu.ops.fk_lanes import apply_offsets_lanes, subject_to_lanes
+
+    poses = batch["poses"]
+    n, f = poses.shape[0], poses.shape[1]
+    m = bank.n_markers
+    k_subj, k_noise = jax.random.split(key)
+    s_idx = jax.random.randint(k_subj, (n,), 0, bank.n_subjects)
+    means = bank.means[s_idx]                                         # (N, M, 3)
+
+    # Local translational offsets, in lane layout (M, 3, n*f).
+    t_lanes = subject_to_lanes(means, f)
+    if randomize:
+        if noise_level == 0:
+            z = jax.random.normal(k_noise, (n, m, 3))
+            samp = means + jnp.squeeze(
+                jnp.matmul(bank.chol[s_idx], z[..., None], precision=_HI), -1)
+            t_lanes = subject_to_lanes(samp, f)
+        elif noise_level == 1:
+            z = jax.random.normal(k_noise, (n, f, m, 3))
+            chol_l = subject_to_lanes(bank.chol[s_idx], f)            # (M, 3, 3, N)
+            z_l = z.transpose(2, 3, 0, 1).reshape(m, 3, n * f)
+            t_lanes = t_lanes + jnp.sum(chol_l * z_l[:, None], axis=2)
+        elif noise_level in (2, 3):
+            t_lanes = None
+        elif noise_level != -1:
+            raise ValueError(f"Unknown noise level {noise_level}")
+
+    identity_r = randomize and noise_level == 3
+    r_lanes = None if identity_r else subject_to_lanes(bank.r[s_idx], f)
+
+    flat = poses.reshape(n * f, -1)
+    shapes = jnp.repeat(batch["shapes"], f, axis=0)
+    mk, frames, tg = sensor_smpl.lane_fk.frames_lanes(flat, shapes)
+    pos_l, ori_l = apply_offsets_lanes(mk, frames, t_lanes, r_lanes)
+
+    trans = batch["trans"].reshape(n * f, 1, 3)
+    out = dict(batch)
+    out["joints_gt"] = (tg.transpose(2, 0, 1) + trans).reshape(n, f, -1)
+    out["marker_pos"] = (pos_l.transpose(2, 0, 1) + trans).reshape(n, f, -1)
+    out["marker_ori"] = ori_l.transpose(3, 0, 1, 2).reshape(n, f, -1)
+    out["marker_nor"] = ori_l[:, :, 2].transpose(2, 0, 1).reshape(n, f, -1)
+    out["offset_t"] = means
+    out["offset_r"] = (jnp.broadcast_to(jnp.eye(3), (n, m, 3, 3)) if identity_r
+                       else bank.r[s_idx])
+    return out
+
+
 def make_preprocess_fn(sensor_smpl, bank: OffsetBank, config, randomize_if_configured: bool):
     """End-to-end preprocess factory (reference transforms.py:23-48).
 
@@ -202,10 +265,22 @@ def make_preprocess_fn(sensor_smpl, bank: OffsetBank, config, randomize_if_confi
     if not config.use_real_offsets:
         raise ValueError("We expect to use the real offsets.")
 
+    # The fused lane-major datagen engages with the lane FK program; the
+    # two-step row-major path remains the parity oracle and the fallback
+    # (EMPOSE_DATAGEN_FUSED=0 forces it for regression attribution).
+    import os as _os
+    fused = (getattr(sensor_smpl, "use_lanes", False)
+             and _os.environ.get("EMPOSE_DATAGEN_FUSED", "1") != "0")
+
     def synth(batch, key):
         k_off, k_noise = jax.random.split(key)
-        batch = smpl_fk_markers(sensor_smpl, batch)
-        batch = sample_markers_with_offsets(batch, bank, k_off, noise_level, randomize_if_configured)
+        if fused:
+            batch = smpl_fk_markers_with_offsets(sensor_smpl, batch, bank, k_off,
+                                                 noise_level, randomize_if_configured)
+        else:
+            batch = smpl_fk_markers(sensor_smpl, batch)
+            batch = sample_markers_with_offsets(batch, bank, k_off, noise_level,
+                                                randomize_if_configured)
         return noise_fn(batch, k_noise)
 
     def preprocess(batch, key, mode="all"):

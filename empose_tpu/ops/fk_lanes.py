@@ -104,6 +104,37 @@ def _normalize(v: jnp.ndarray) -> jnp.ndarray:
     return v / jnp.sqrt(jnp.sum(v * v, axis=1, keepdims=True))
 
 
+def subject_to_lanes(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Per-subject quantity ``(n, m, *dims)`` -> lane layout ``(m, *dims, n*f)``.
+
+    The frame axis of the lane domain is ordered (n outer, f inner) — the
+    same order ``poses.reshape(n*f, -1)`` produces — so a per-subject value
+    broadcasts over its f contiguous lanes.
+    """
+    n, m = x.shape[0], x.shape[1]
+    lanes = jnp.transpose(x, tuple(range(1, x.ndim)) + (0,))          # (m, *dims, n)
+    lanes = jnp.broadcast_to(lanes[..., None], lanes.shape + (f,))
+    return lanes.reshape(lanes.shape[:-2] + (n * f,))
+
+
+def apply_offsets_lanes(mk: jnp.ndarray, frames: jnp.ndarray,
+                        t_lanes, r_lanes) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mounting-offset application in lane layout (the datagen twin of
+    ``LaneFK.__call__``'s offset math; reference transforms.py:163-226).
+
+    pos = mk + frames @ t, ori = frames @ r — 27 multiply-adds over N-wide
+    planes instead of the row-major ``(n, f, m, 3, 3)`` batched matmuls that
+    tile at ~1% occupancy (measured 1.8 ms for the ori compose alone at
+    bs 64 x w 256). ``t_lanes`` (M, 3, N) / ``r_lanes`` (M, 3, 3, N) may be
+    None (zero offsets / identity rotations — noise levels 2/3 skip the work
+    entirely).
+    """
+    pos = mk if t_lanes is None else mk + jnp.sum(frames * t_lanes[:, None], axis=2)
+    ori = frames if r_lanes is None else jnp.sum(
+        frames[:, :, :, None] * r_lanes[:, None], axis=2)
+    return pos, ori
+
+
 def _tree_levels(parents) -> Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]], ...]:
     depth = [0] * len(parents)
     for i in range(1, len(parents)):
@@ -213,6 +244,18 @@ class LaneFK:
             pos = pos + trans[:, None]
             joints = joints + trans[:, None]
         return pos, frames.transpose(3, 0, 1, 2), nr.transpose(2, 0, 1), joints
+
+    def frames_lanes(self, poses: jnp.ndarray, shapes: jnp.ndarray):
+        """Lane-DOMAIN sensor frames + joints — no output transposes.
+
+        For consumers that keep working in lane layout (the fused datagen
+        path, data/transforms.py::smpl_fk_markers_with_offsets, which applies
+        mounting offsets lane-major and transposes each final tensor exactly
+        once). Returns (marker verts (M, 3, N), frames (M, 3, 3, N),
+        joints (J, 3, N)).
+        """
+        mk, frames, _nr, tg = self._core(poses, shapes)
+        return mk, frames, tg
 
     def _core(self, poses: jnp.ndarray, shapes: jnp.ndarray):
         """Lane-major FK -> (marker verts (M, 3, N), frames (M, 3, 3, N),

@@ -223,3 +223,51 @@ def test_emr_batch_loader(assets_env):
     assert batch["shapes"].shape == (2, 10)
     assert batch["joints_gt"].shape[-1] == 66
     assert (batch["seq_lengths"] <= 16).all()
+
+
+@pytest.mark.parametrize("noise_level,randomize", [(-1, False), (-1, True), (0, True),
+                                                   (1, True), (2, True), (3, True)])
+def test_fused_datagen_matches_two_step(assets_env, smplh_model, noise_level, randomize):
+    """The fused lane-major datagen (FK + offset application in one
+    lane-domain program, transforms.py::smpl_fk_markers_with_offsets) must be
+    value- AND gradient-equivalent to the row-major two-step chain
+    smpl_fk_markers -> sample_markers_with_offsets: same key splits, same
+    draw shapes, same outputs up to f32 reassociation."""
+    sensor = SensorSMPL(smplh_model)
+    assert sensor.use_lanes, "lane FK must be on for the fused path"
+    bank = T.OffsetBank.from_offset_files(list(D.get_all_offset_files().values()))
+    rng = np.random.RandomState(11)
+    n, f = 2, 4
+    batch = {
+        "poses": jnp.asarray(rng.randn(n, f, 66).astype(np.float32) * 0.3),
+        "trans": jnp.asarray(rng.randn(n, f, 3).astype(np.float32)),
+        "shapes": jnp.asarray(rng.randn(n, 10).astype(np.float32) * 0.3),
+        "seq_lengths": jnp.asarray([f, f]),
+    }
+    key = jax.random.PRNGKey(5)
+
+    def two_step(b):
+        b = T.smpl_fk_markers(sensor, b)
+        return T.sample_markers_with_offsets(b, bank, key, noise_level, randomize)
+
+    def fused(b):
+        return T.smpl_fk_markers_with_offsets(sensor, b, bank, key, noise_level, randomize)
+
+    out_a, out_b = two_step(batch), fused(batch)
+    for k in ("marker_pos", "marker_ori", "marker_nor", "joints_gt", "offset_t", "offset_r"):
+        np.testing.assert_allclose(np.asarray(out_b[k]), np.asarray(out_a[k]),
+                                   atol=3e-6, rtol=1e-5, err_msg=k)
+
+    # Gradient parity through the fused chain (the train step differentiates
+    # datagen outputs only via stop-gradient-free consumers; still, the VJPs
+    # must agree for safety under future fusions).
+    ct_pos = jnp.asarray(rng.randn(*out_a["marker_pos"].shape).astype(np.float32))
+    ct_ori = jnp.asarray(rng.randn(*out_a["marker_ori"].shape).astype(np.float32))
+
+    def loss(fn, poses):
+        o = fn(dict(batch, poses=poses))
+        return jnp.sum(o["marker_pos"] * ct_pos) + jnp.sum(o["marker_ori"] * ct_ori)
+
+    g_a = jax.grad(lambda p: loss(two_step, p))(batch["poses"])
+    g_b = jax.grad(lambda p: loss(fused, p))(batch["poses"])
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_a), atol=5e-5, rtol=5e-4)
