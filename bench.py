@@ -188,8 +188,11 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
     params, state = model.init(jax.random.PRNGKey(0))
     opt_state = opt_init(params)
     batch = GE._tiny_batch(np.random.RandomState(0), n=config.bs_train, f=config.window_size)
-    f_call = _xla_flops(step, params, state, opt_state, batch, jax.random.PRNGKey(0))
-    flops_per_frame = f_call / (bs * window) if f_call else None
+    # Cost analysis AFTER the first jitted execution below: the jit dispatch
+    # populates the persistent compilation cache first, so the AOT
+    # lower().compile() used for FLOP counting deserializes from cache
+    # instead of paying the most expensive compile in the benchmark twice.
+    flops_per_frame = None
 
     repeats = 4
     keys = [jax.random.PRNGKey(i) for i in range(warmup + repeats * iters)]
@@ -198,6 +201,10 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32):
         *carry, vals = step(*carry, batch, keys[i])
     if warmup:
         jax.block_until_ready(vals["total_loss"])
+    # (see note above — counted on the LIVE chained state: the originals'
+    # buffers were donated to the first call)
+    f_call = _xla_flops(step, *carry, batch, keys[0])
+    flops_per_frame = f_call / (bs * window) if f_call else None
     # Steps chain on-device through the donated train state, so timing the
     # chain and dividing measures the per-step compute time (per-step
     # blocking would bill the tunnel RTT of this environment to every step).

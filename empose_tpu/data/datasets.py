@@ -124,30 +124,50 @@ class Loader:
 
 
 def _prefetch_iter(gen: Iterator, prefetch: int) -> Iterator:
-    """Drain ``gen`` on a background thread, ``prefetch`` items ahead."""
+    """Drain ``gen`` on a background thread, ``prefetch`` items ahead.
+
+    Abandoning the iterator early (``break`` out of the consuming loop, then
+    GC/close of this generator) stops the producer promptly: the timed
+    ``q.put`` rechecks a stop flag, so the thread exits instead of blocking
+    forever on a queue nobody drains. NOTE prefetched-ahead batches that were
+    already drawn are discarded — after an early break, any RNG owned by
+    ``gen`` has advanced up to ``prefetch + 1`` draws past the last consumed
+    batch (identical to torch DataLoader-worker semantics, not to a
+    prefetch=0 run)."""
     if prefetch <= 0:
         yield from gen
         return
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     sentinel = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for b in gen:
-                q.put(b)
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
             q.put(sentinel)
         except BaseException as e:  # surfaced in the consumer, not lost
             q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 def make_real_loader(data_dir: Optional[str] = None, batch_size: int = 1) -> Loader:

@@ -132,21 +132,28 @@ class EvalSession:
         self._run_chunk = jax.jit(run_chunk)
         self._noise_base_key = jax.random.PRNGKey(8004)
 
-    def forward_chunk(self, chunk: Dict, carry):
-        """:return: (outputs dict of HOST arrays, loss-val dict of floats, carry)."""
+    def forward_chunk(self, chunk: Dict, carry, host: bool = True):
+        """:return: (outputs dict, loss-val dict, carry).
+
+        ``host=True`` (default) converts outputs/loss-vals to host numpy —
+        each conversion BLOCKS on the chunk's compute (a tunnel round-trip
+        here). ``host=False`` returns device arrays so a caller that only
+        aggregates (e.g. Trainer.evaluate_test) can defer the sync to one
+        batched ``device_get`` per pass."""
         # device_put (async enqueue), not jnp.asarray (blocks ~one tunnel
         # RTT): the upload overlaps the previous chunk's compute.
         device_chunk = jax.device_put({k: v for k, v in chunk.items() if k != "ids"})
         key = jax.random.fold_in(self._noise_base_key, self._chunk_counter)
         self._chunk_counter += 1
         packed, vals, new_carry = self._run_chunk(self.params, self.state, device_chunk, carry, key)
-        packed = np.asarray(packed)
+        if host:
+            packed = np.asarray(packed)
         s0, s1, has_shape = self._splits
         out = {"root_ori_hat": packed[..., :s0], "pose_hat": packed[..., s0:s1]}
         if has_shape:
             out["shape_hat"] = packed[..., s1:]
-        vals_np = np.asarray(vals)
-        return out, dict(zip(self._val_names, vals_np)), new_carry
+        vals_out = np.asarray(vals) if host else vals
+        return out, dict(zip(self._val_names, vals_out)), new_carry
 
 
 def load_model(model_id, experiment_dir: Optional[str] = None):

@@ -96,7 +96,9 @@ def batch_norm_init(key, size: int, uniform_weight: bool = True) -> Tuple[Params
 #
 # where S1/S2 run over ALL rows (every row's output depends on the stats) and
 # m_i/c gates the stats feedback to rows that contributed to them. The
-# forward math is kept bit-identical to the previous two-pass formulation.
+# forward computes the stats in one read of x, shifted by the RUNNING mean
+# (see _one_pass_stats) — numerically equivalent to the two-pass
+# formulation up to f32 rounding, not bitwise.
 # ``scale``/``bias`` arrive keepdims-broadcast-shaped so the same core serves
 # both the (rows, H) layout of ``batch_norm_apply`` and the per-net (2, B, H)
 # layout of ``_stacked_bn``; ``axes`` (static) are the reduction axes.
@@ -113,28 +115,32 @@ def _bn_stats_contribution(x, mean, ct_mean, ct_var, inv, mw=None):
     return contrib if mw is None else mw * contrib
 
 
-def _one_pass_stats(x, axes):
-    """mean and biased var in ONE read of x: the E[x] and E[x^2] reductions
-    are independent, so XLA fuses them into a single multi-output pass (the
-    textbook two-pass var needs a second read after mean resolves). The
-    E[x^2] - mean^2 cancellation error is ~|mean|^2 * 2^-24 — orders below
-    the 1e-5 parity tolerances at these activation magnitudes; clamped at 0
-    for safety."""
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    mean_sq = jnp.mean(jnp.square(x), axis=axes, keepdims=True)
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    return mean, var
+def _one_pass_stats(x, axes, m0):
+    """mean and biased var in ONE read of x: the E[x-m0] and E[(x-m0)^2]
+    reductions are independent, so XLA fuses them into a single multi-output
+    pass (the textbook two-pass var needs a second read after mean resolves).
+    ``m0`` is the RUNNING mean (a stop-gradient constant that cancels out of
+    both results exactly): shifting makes the one-pass cancellation error
+    ~|batch_mean - m0|^2 * 2^-24 — negligible once the running stat tracks
+    the batch stat, and exactly the unshifted formula at init (m0 == 0) —
+    instead of ~|mean|^2 * 2^-24, which is catastrophic for a channel whose
+    mean dwarfs its spread. Clamped at 0 for safety."""
+    xc = x - m0
+    d = jnp.mean(xc, axis=axes, keepdims=True)
+    d_sq = jnp.mean(jnp.square(xc), axis=axes, keepdims=True)
+    var = jnp.maximum(d_sq - jnp.square(d), 0.0)
+    return m0 + d, var
 
 
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _bn_core(axes, x, scale, bias):
-    mean, var = _one_pass_stats(x, axes)
+def _bn_core(axes, x, scale, bias, m0):
+    mean, var = _one_pass_stats(x, axes, m0)
     y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
     return y, mean, var
 
 
-def _bn_core_fwd(axes, x, scale, bias):
-    mean, var = _one_pass_stats(x, axes)
+def _bn_core_fwd(axes, x, scale, bias, m0):
+    mean, var = _one_pass_stats(x, axes, m0)
     y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
     return (y, mean, var), (x, scale, mean, var)
 
@@ -152,32 +158,37 @@ def _bn_core_bwd(axes, res, cts):
     S2 = jnp.sum(dy * xhat, axis=axes, keepdims=True)
     dx = (scale * r) * (dy - inv * (S1 + xhat * S2)) \
         + _bn_stats_contribution(x, mean, ct_mean, ct_var, inv)
-    return dx, S2, S1
+    # The m0 shift cancels out of mean and var exactly, so its true
+    # derivative is zero (it is carried state anyway, never differentiated).
+    return dx, S2, S1, jnp.zeros_like(mean)
 
 
 _bn_core.defvjp(_bn_core_fwd, _bn_core_bwd)
 
 
-def _one_pass_stats_masked(x, axes, mw):
-    """Masked one-pass stats (see _one_pass_stats): sum(x*m) and sum(x^2*m)
-    fuse into a single read; padded rows carry m == 0 and contribute exactly
-    zero, preserving the DP-padding exactness contract."""
+def _one_pass_stats_masked(x, axes, mw, m0):
+    """Masked one-pass stats (see _one_pass_stats for the m0 shift):
+    sum((x-m0)*m) and sum((x-m0)^2*m) fuse into a single read; padded rows
+    carry m == 0 and contribute exactly zero, preserving the DP-padding
+    exactness contract (m0 is constant over the reduced axes, so the shift
+    cancels out of the masked mean the same way)."""
     count = jnp.maximum(jnp.sum(mw), 1.0)
-    mean = jnp.sum(x * mw, axis=axes, keepdims=True) / count
-    mean_sq = jnp.sum(jnp.square(x) * mw, axis=axes, keepdims=True) / count
-    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-    return mean, var, count
+    xc = x - m0
+    d = jnp.sum(xc * mw, axis=axes, keepdims=True) / count
+    d_sq = jnp.sum(jnp.square(xc) * mw, axis=axes, keepdims=True) / count
+    var = jnp.maximum(d_sq - jnp.square(d), 0.0)
+    return m0 + d, var, count
 
 
 @_partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _bn_core_masked(axes, x, scale, bias, mw):
-    mean, var, _ = _one_pass_stats_masked(x, axes, mw)
+def _bn_core_masked(axes, x, scale, bias, mw, m0):
+    mean, var, _ = _one_pass_stats_masked(x, axes, mw, m0)
     y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
     return y, mean, var
 
 
-def _bn_core_masked_fwd(axes, x, scale, bias, mw):
-    mean, var, count = _one_pass_stats_masked(x, axes, mw)
+def _bn_core_masked_fwd(axes, x, scale, bias, mw, m0):
+    mean, var, count = _one_pass_stats_masked(x, axes, mw, m0)
     y = (x - mean) * lax.rsqrt(var + BN_EPS) * scale + bias
     return (y, mean, var), (x, scale, mean, var, mw, count)
 
@@ -192,8 +203,9 @@ def _bn_core_masked_bwd(axes, res, cts):
     S2 = jnp.sum(dy * xhat, axis=axes, keepdims=True)
     dx = (scale * r) * (dy - mw * (inv * (S1 + xhat * S2))) \
         + _bn_stats_contribution(x, mean, ct_mean, ct_var, inv, mw)
-    # The mask derives from integer seq_lengths — nothing differentiates it.
-    return dx, S2, S1, jnp.zeros_like(mw)
+    # The mask derives from integer seq_lengths — nothing differentiates it;
+    # the m0 shift cancels out of mean and var exactly (zero derivative).
+    return dx, S2, S1, jnp.zeros_like(mw), jnp.zeros_like(mean)
 
 
 _bn_core_masked.defvjp(_bn_core_masked_fwd, _bn_core_masked_bwd)
@@ -217,14 +229,16 @@ def batch_norm_apply(params: Params, state: State, x: jnp.ndarray, train: bool,
         shp = (1,) * (x.ndim - 1) + (-1,)
         scale_b = params["scale"].reshape(shp)
         bias_b = params["bias"].reshape(shp)
+        # Running mean as the one-pass variance shift (see _one_pass_stats).
+        m0 = lax.stop_gradient(state["mean"]).reshape(shp)
         if mask is None:
-            y, mean_k, var_k = _bn_core(axes, x, scale_b, bias_b)
+            y, mean_k, var_k = _bn_core(axes, x, scale_b, bias_b, m0)
             count = x.size // x.shape[-1]
             unbiased = var_k.reshape(-1) * (count / max(count - 1, 1))
         else:
             m = mask.reshape(x.shape[:-1] + (1,)).astype(x.dtype)
             count = jnp.maximum(jnp.sum(m), 1.0)
-            y, mean_k, var_k = _bn_core_masked(axes, x, scale_b, bias_b, m)
+            y, mean_k, var_k = _bn_core_masked(axes, x, scale_b, bias_b, m, m0)
             unbiased = var_k.reshape(-1) * (count / jnp.maximum(count - 1.0, 1.0))
         new_state = {
             "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean_k.reshape(-1),
@@ -370,14 +384,16 @@ def _stacked_bn(params_a, params_b, state_a, state_b, y, train, mask=None):
     scale = jnp.stack([params_a["scale"], params_b["scale"]])[:, None]
     bias = jnp.stack([params_a["bias"], params_b["bias"]])[:, None]
     if train:
+        # Running means as the one-pass variance shift (see _one_pass_stats).
+        m0 = lax.stop_gradient(jnp.stack([state_a["mean"], state_b["mean"]]))[:, None]
         if mask is None:
-            out, mean, var = _bn_core((1,), y, scale, bias)  # (2, 1, H) per-net stats
+            out, mean, var = _bn_core((1,), y, scale, bias, m0)  # (2, 1, H) per-net stats
             count = y.shape[1]
             unbiased = var * (count / max(count - 1, 1))
         else:
             m = mask.reshape(1, -1, 1).astype(y.dtype)  # (1, B, 1)
             count = jnp.maximum(jnp.sum(m), 1.0)
-            out, mean, var = _bn_core_masked((1,), y, scale, bias, m)
+            out, mean, var = _bn_core_masked((1,), y, scale, bias, m, m0)
             unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         def upd(state, m, v):
             return {"mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * m,

@@ -59,12 +59,12 @@ def kernel_dot_precision(precision):
 
 
 def _make_kernel(num_layers: int, hidden: int, precision):
-    precision = kernel_dot_precision(precision)
     """Kernel body for a fixed (static) layer count.
 
     Ref order: x0_proj block, mask block, w_hh_all, [w_ih_up, b_up,]
     h0s, c0s, then outputs outs block, hF, cF.
     """
+    precision = kernel_dot_precision(precision)
 
     def kernel(x0_ref, m_ref, w_hh_ref, *rest):
         if num_layers > 1:
@@ -258,12 +258,12 @@ def fits_vmem_bidi(hidden: int) -> bool:
 
 
 def _make_wavefront_kernel(num_layers: int, hidden: int, precision):
-    precision = kernel_dot_precision(precision)
     """Ref order: x0_proj block (clamped index map — drain steps re-read the
     last row, fully masked), m_all block (per-layer shifted masks, zero
     where time t-l is out of range), w_hh0, w_cat (deeper layers'
     [w_ih; w_hh]), b_up, h0s, c0s, then outputs outs block, hF, cF, pipe
     (the VMEM-resident wavefront state)."""
+    precision = kernel_dot_precision(precision)
 
     def kernel(x0_ref, m_ref, w_hh0_ref, w_cat_ref, b_up_ref, h0_ref, c0_ref,
                out_ref, hf_ref, cf_ref, pipe_ref):
@@ -467,12 +467,12 @@ def lstm_stack_pallas_wavefront(cells: List[dict], x: jnp.ndarray,
 
 
 def _make_bidi_kernel(hidden: int, precision):
-    precision = kernel_dot_precision(precision)
     """One bidirectional layer: the two directions are mutually independent,
     so both cell updates run inside the same grid step (two MXU dots per
     step instead of one — better systolic-array occupancy at small batch).
     The backward direction consumes the per-sample length-REVERSED input, so
     the single mask block serves both (valid frames are a prefix in both)."""
+    precision = kernel_dot_precision(precision)
 
     def kernel(xp_ref, m_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref):
         t = pl.program_id(0)

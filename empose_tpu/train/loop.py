@@ -37,11 +37,35 @@ from empose_tpu.utils import experiments as U
 from empose_tpu.utils.logging import ScalarWriter, StepTimer
 
 
+def _flatten_legacy_opt_state(opt_state):
+    """Convert a pre-flatten per-leaf adam state into the optax.flatten
+    layout (single raveled mu/nu): same structure as
+    ``optax.flatten(optax.adam(lr)).init(params)`` because flatten() ravels
+    params with ``ravel_pytree`` — the identical leaf order used here."""
+    from jax.flatten_util import ravel_pytree
+
+    def conv(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                count=s.count, mu=ravel_pytree(s.mu)[0], nu=ravel_pytree(s.nu)[0])
+        return s
+    return jax.tree_util.tree_map(
+        conv, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
+
+
 class Trainer:
     def __init__(self, config, seed: Optional[int] = None, match_reference_grads: bool = True):
         self.config = config
         prec = getattr(config, "matmul_precision", "highest") or "highest"
         if getattr(config, "bf16", False):
+            if prec not in ("highest", "default"):
+                # --bf16 is a legacy alias for --matmul_precision default;
+                # combining it with a DIFFERENT explicit precision is
+                # ambiguous — refuse rather than silently pick one.
+                raise ValueError(
+                    f"--bf16 conflicts with --matmul_precision {prec}: "
+                    "--bf16 means --matmul_precision default; pass one or the other")
             prec = "default"  # legacy alias
         if prec != "highest":
             # Fast training precisions for the NN GEMMs + lane-major
@@ -78,7 +102,9 @@ class Trainer:
         # tiny-array op carries fixed per-op overhead on TPU; flattening cut
         # the measured update from ~3.6 ms to ~0.3 ms at 5.7M params
         # (tools/profile_train.py). Per-element math is unchanged — losses
-        # and the bitwise resume property are identical.
+        # and the bitwise resume property are identical. Checkpoints written
+        # before this switch hold per-leaf adam trees; restore() detects and
+        # ravels them (_flatten_legacy_opt_state).
         self.opt = optax.flatten(optax.adam(config.lr))
         self.opt_state = self.opt.init(self.params)
         self.global_step = 0
@@ -314,11 +340,15 @@ class Trainer:
             first_shape = None
             chunk_vals, n_chunks = [], 0
             for c, (chunk, _) in enumerate(window_generator(hb, window_size)):
-                out, vals, carry = session.forward_chunk(chunk, carry)
+                # host=False: outputs/loss-vals stay device arrays; the only
+                # per-chunk syncs left are the metrics engine's (host numpy
+                # by design) np.asarray calls below, skipped on loss-only
+                # passes — the loss scalars flush once per pass.
+                out, vals, carry = session.forward_chunk(chunk, carry, host=False)
                 chunk_vals.append(vals)
                 n_chunks += 1
                 shape_hat = out.get("shape_hat")
-                if c == 0:
+                if c == 0 and metrics_engine is not None:
                     first_shape = None if shape_hat is None else np.asarray(shape_hat)[:, 0]
                 if metrics_engine is not None:
                     metrics_engine.compute(
@@ -355,7 +385,18 @@ class Trainer:
         ckpt.save_params_state(path + "_model", self.params, self.state)
 
     def restore(self, path: str) -> None:
-        restored = ckpt.restore_train_state(path, self.train_state_dict())
+        try:
+            restored = ckpt.restore_train_state(path, self.train_state_dict())
+        except Exception:
+            # Legacy checkpoint written before the optimizer switched to
+            # optax.flatten (one raveled mu/nu vector): its opt_state holds
+            # per-leaf adam trees. Restore against the legacy template and
+            # ravel — flatten() uses ravel_pytree's leaf order, so raveling
+            # mu/nu over the params structure reproduces its state exactly.
+            tmpl = self.train_state_dict()
+            tmpl["opt_state"] = optax.adam(self.config.lr).init(self.params)
+            restored = ckpt.restore_train_state(path, tmpl)
+            restored["opt_state"] = _flatten_legacy_opt_state(restored["opt_state"])
         self.params = restored["params"]
         self.state = restored["state"]
         self.opt_state = restored["opt_state"]

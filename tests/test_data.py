@@ -73,6 +73,31 @@ def test_emr_sequence_dataset_windows(assets_env):
     assert batch["poses"].shape[1] % 32 == 0
 
 
+def test_prefetch_iter_early_break_stops_producer():
+    """Abandoning a prefetching loader early must not leak a producer thread
+    blocked on q.put forever (datasets.py::_prefetch_iter)."""
+    import threading
+    import time as _time
+
+    produced = []
+
+    def slow_gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = D._prefetch_iter(slow_gen(), prefetch=2)
+    assert next(it) == 0
+    it.close()  # what GC does when a 'for ... in loader: break' drops it
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread leaked"
+    # The producer ran at most 1 consumed + prefetch ahead + 1 in-flight.
+    assert len(produced) <= 4
+
+
 def test_normalize_root_device(assets_env, smplh_model):
     rng = np.random.RandomState(0)
     batch = {

@@ -193,7 +193,11 @@ def test_bn_custom_vjp_matches_autodiff():
     """Train-mode BN runs through a custom VJP (analytic one-reduction-pass
     backward, layers.py::_bn_core*); its gradients — including the path
     through the returned running-stat update — must match plain autodiff of
-    the two-pass stats formulation, masked and unmasked, 2D and 3D."""
+    the two-pass stats formulation, masked and unmasked, 2D and 3D.
+
+    The forward uses running-mean-shifted one-pass stats, equivalent to the
+    two-pass form up to f32 rounding (here the running mean is a randn draw,
+    the worst case for the shift), so values compare at rounding tolerance."""
     rng = np.random.RandomState(0)
 
     def reference_bn(p, s, x, m):
@@ -236,13 +240,38 @@ def test_bn_custom_vjp_matches_autodiff():
             args = ({"scale": p["scale"], "bias": p["bias"]}, x)
             y0, ns0 = reference_bn(p, s, x, m)
             y1, ns1 = impl_bn(p, s, x, m)
-            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
             for k in ns0:
-                np.testing.assert_allclose(np.asarray(ns1[k]), np.asarray(ns0[k]), atol=1e-6)
+                np.testing.assert_allclose(np.asarray(ns1[k]), np.asarray(ns0[k]), atol=1e-5)
             g0 = jax.grad(lambda px, xx: loss(reference_bn, px, xx), argnums=(0, 1))(*args)
             g1 = jax.grad(lambda px, xx: loss(impl_bn, px, xx), argnums=(0, 1))(*args)
             for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
                 np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5, rtol=2e-5)
+
+
+def test_bn_one_pass_stats_survive_large_mean():
+    """The one-pass variance is computed SHIFTED by the running mean
+    (layers.py::_one_pass_stats): a channel whose mean dwarfs its spread
+    (|mean|^2/var ~ 1e8) must still normalize correctly once the running
+    stat tracks the batch stat — the unshifted E[x^2]-mean^2 form cancels
+    to var<=0 in f32 there and explodes y by rsqrt(BN_EPS)."""
+    rng = np.random.RandomState(1)
+    base = rng.randn(4096, 8).astype(np.float32)  # unit-ish spread
+    offs = np.array([0.0, 1.0, -2.0, 1e2, -1e2, 1e3, -1e3, 1e3], np.float32)
+    x = jnp.asarray(base * 0.1 + offs)
+    p = {"scale": jnp.ones((8,), jnp.float32), "bias": jnp.zeros((8,), jnp.float32)}
+    # Running stats that have converged near the batch stats (any long run).
+    s = {"mean": jnp.asarray(offs), "var": jnp.full((8,), 0.01, jnp.float32)}
+    y, ns = L.batch_norm_apply(p, s, x, True, None)
+    exact_var = base.var(axis=0) * 0.01
+    got_var = (np.asarray(ns["var"]) - (1 - L.BN_MOMENTUM) * 0.01) / L.BN_MOMENTUM
+    np.testing.assert_allclose(got_var * (4096 / 4095), exact_var, rtol=1e-3)
+    # Normalized outputs stay O(1) for every channel (no rsqrt(eps) blowup).
+    assert float(jnp.max(jnp.abs(y))) < 10.0
+    # Masked path, same regime.
+    m = jnp.asarray((rng.rand(4096) > 0.3).astype(np.float32))
+    y_m, _ = L.batch_norm_apply(p, s, x, True, m)
+    assert float(jnp.max(jnp.abs(y_m * m[:, None]))) < 10.0
 
 
 def test_mlp_pair_grads_match_two_applies():

@@ -162,7 +162,12 @@ def test_multihost_dp_step_two_processes():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tools", "multihost_worker.py")
-    port = 53219
+    # A fresh OS-assigned port: a hardcoded one collides across concurrent
+    # pytest sessions (and with its own TIME_WAIT on rapid reruns).
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     # The worker forces its own platform/device-count before importing jax.
     env.pop("XLA_FLAGS", None)

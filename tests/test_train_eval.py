@@ -141,6 +141,56 @@ def test_resume_roundtrip(assets_env, trained_dir, monkeypatch):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+def test_restore_legacy_per_leaf_adam_checkpoint(assets_env, trained_dir, monkeypatch, tmp_path):
+    """Checkpoints written before the optimizer switched to optax.flatten
+    hold PER-LEAF adam trees; Trainer.restore must load them and ravel into
+    the flat layout (train/loop.py::_flatten_legacy_opt_state) so old runs
+    stay resumable."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import jax
+    import optax
+    from empose_tpu.checkpoint import native as ckpt
+    from empose_tpu.train.loop import Trainer
+    from empose_tpu.utils.experiments import get_model_dir
+    from jax.flatten_util import ravel_pytree
+
+    model_dir = get_model_dir(trained_dir, "111000")
+    cfg = Configuration.from_json(os.path.join(model_dir, "config.json"))
+    t = Trainer(cfg, seed=7)
+
+    # Write a legacy-layout checkpoint: per-leaf adam state with nonzero
+    # moments (run one legacy update so mu/nu are distinguishable).
+    legacy_opt = optax.adam(cfg.lr)
+    legacy_state = legacy_opt.init(t.params)
+    grads = jax.tree.map(lambda p: np.ones_like(np.asarray(p)) * 0.01, t.params)
+    _, legacy_state = legacy_opt.update(grads, legacy_state, t.params)
+    legacy_ckpt = t.train_state_dict()
+    legacy_ckpt["opt_state"] = legacy_state
+    legacy_ckpt["global_step"] = 5
+    path = str(tmp_path / "legacy_checkpoint")
+    ckpt.save_train_state(path, legacy_ckpt)
+
+    t2 = Trainer(cfg, seed=99)  # different seed: everything must come from disk
+    t2.restore(path)
+    assert t2.global_step == 5
+    # The restored flat moments equal the raveled legacy moments bitwise.
+    flat_mu = np.asarray(t2.opt_state[0].mu)
+    want_mu = np.asarray(ravel_pytree(legacy_state[0].mu)[0])
+    np.testing.assert_array_equal(flat_mu, want_mu)
+    flat_nu = np.asarray(t2.opt_state[0].nu)
+    want_nu = np.asarray(ravel_pytree(legacy_state[0].nu)[0])
+    np.testing.assert_array_equal(flat_nu, want_nu)
+    assert int(t2.opt_state[0].count) == 1
+    # And the restored trainer can actually take a step.
+    from empose_tpu.data.batches import collate_amass
+    from empose_tpu.data.datasets import EMRSequenceDataset, Loader
+    ds = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "amass_emr"),
+                            window_size=cfg.window_size, window_mode="beginning")
+    loader = Loader(ds, cfg.bs_train, collate_amass, shuffle=False)
+    vals = t2.train_step(next(iter(loader)))
+    assert np.isfinite(float(vals["total_loss"]))
+
+
 def test_evaluate_real_cli(assets_env, trained_dir, monkeypatch):
     monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
     import argparse

@@ -112,9 +112,27 @@ def main():
             if step >= args.steps:
                 break
     mpjpe_N = mpjpe()
-    s_per_step = float(np.mean(t_steps))
+    # t_steps skips the first two (compile-laden) steps, so a --steps <= 2
+    # smoke run has no samples; None keeps the JSON line valid (NaN is not
+    # JSON).
+    s_per_step = float(np.mean(t_steps)) if t_steps else None
+    ms_txt = f"{s_per_step*1e3:.1f}" if s_per_step is not None else "n/a"
     print(f"MPJPE after {step} steps: {mpjpe_N:.2f} mm "
-          f"({s_per_step*1e3:.1f} ms/step end-to-end)", flush=True)
+          f"({ms_txt} ms/step end-to-end)", flush=True)
+
+    # Persist the trained model as a standard experiment dir so downstream
+    # tools (suppression_study, evaluate_real, export_torch) can load it by
+    # id against the gate assets — the gate doubles as the synthetic-corpus
+    # model factory for robustness studies.
+    from empose_tpu.utils.experiments import get_model_dir
+    exp_root = os.environ["EM_EXPERIMENTS"]
+    model_dir = get_model_dir(exp_root, "920000")
+    if model_dir is None:
+        model_dir = os.path.join(exp_root, "920000-gate-lgd-rnn6")
+        os.makedirs(model_dir, exist_ok=True)
+    cfg.to_json(os.path.join(model_dir, "config.json"))
+    trainer.save(os.path.join(model_dir, "checkpoint"))
+    print(f"trained model saved as experiment 920000 ({model_dir})", flush=True)
 
     if not (mpjpe_0 > MPJPE_START_MIN):
         failures.append(f"untrained MPJPE {mpjpe_0:.1f} <= {MPJPE_START_MIN} (corpus drifted?)")
@@ -158,7 +176,7 @@ def main():
         "steps": args.steps,
         "mpjpe_before_mm": round(mpjpe_0, 2),
         "mpjpe_after_mm": round(mpjpe_N, 2),
-        "s_per_step": round(s_per_step, 4),
+        "s_per_step": round(s_per_step, 4) if s_per_step is not None else None,
         "reference_example_s_per_step": 0.700,
         "resume_max_loss_diff": resume_diff,
         "ok": not failures,

@@ -24,28 +24,14 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-
-def timeit_chain(step_fn, carry, iters=20, warmup=3, repeats=3):
-    import jax
-    carry = step_fn(carry)
-    jax.block_until_ready(carry)
-    for _ in range(warmup):
-        carry = step_fn(carry)
-    jax.block_until_ready(carry)
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            carry = step_fn(carry)
-        jax.block_until_ready(carry)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters * 1e3
+# One timing harness for both profilers — a methodology fix must hit both or
+# their numbers stop being comparable.
+from tools.profile_train import timeit_chain
 
 
 def main():
