@@ -142,19 +142,25 @@ def _prefetch_iter(gen: Iterator, prefetch: int) -> Iterator:
     stop = threading.Event()
 
     def producer():
+        def put_checked(item):
+            # Same timed-put-with-stop-recheck as regular items: a consumer
+            # that abandons the iterator while the queue is full must not
+            # leave this thread blocked forever (exception/sentinel included).
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for b in gen:
-                while not stop.is_set():
-                    try:
-                        q.put(b, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_checked(b):
                     return
-            q.put(sentinel)
+            put_checked(sentinel)
         except BaseException as e:  # surfaced in the consumer, not lost
-            q.put(e)
+            put_checked(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -205,7 +211,16 @@ class EMRBatchLoader:
         self.drop_last = drop_last
         self.pad_multiple = pad_multiple
         self.n_frames = np.asarray([self.reader.meta(i)["n_frames"] for i in range(len(self.reader))])
-        self.has_joints = len(self.reader) > 0 and "joints" in self.reader.fields(0)
+        # The 'joints' field must be homogeneous across the corpus: a mixed
+        # corpus would either crash in gather_windows or silently zero-fill
+        # records that DO carry joints. Assert at load time, not mid-epoch.
+        with_joints = sum("joints" in self.reader.fields(i) for i in range(len(self.reader)))
+        if with_joints not in (0, len(self.reader)):
+            raise ValueError(
+                f"EMR corpus {path!r} is heterogeneous: {with_joints}/"
+                f"{len(self.reader)} records have a 'joints' field; "
+                "regenerate the corpus with a consistent schema.")
+        self.has_joints = with_joints > 0
 
     def __len__(self) -> int:
         n = len(self.reader)

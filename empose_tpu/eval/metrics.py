@@ -66,8 +66,11 @@ def procrustes_align(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
     Y0 = Y - muY
     normX = jnp.sqrt(jnp.sum(X0 * X0))
     normY = jnp.sqrt(jnp.sum(Y0 * Y0))
-    X0 = X0 / normX
-    Y0 = Y0 / normY
+    # Degenerate (all-points-equal) rows happen only for padded/masked
+    # frames; guard the division so they yield finite garbage that the
+    # masked accumulation can zero out (NaN would poison masked sums).
+    X0 = X0 / jnp.where(normX > 0, normX, 1.0)
+    Y0 = Y0 / jnp.where(normY > 0, normY, 1.0)
     A = jnp.matmul(X0.T, Y0, precision=_HI)
     U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
     V = Vt.T
@@ -125,6 +128,142 @@ def _rotmat_angles(pose: jnp.ndarray, pose_hat: jnp.ndarray) -> jnp.ndarray:
     r = pose.reshape(b, -1, 3, 3)
     r_hat = pose_hat.reshape(b, -1, 3, 3)
     return jnp.rad2deg(so3_relative_angle(r, r_hat))
+
+
+# ---------------------------------------------------------------------------
+# Device-resident sufficient statistics.
+#
+# The reference aggregation (metrics.py:289-330) only ever needs, per joint,
+# the error SUM, the error SUM OF SQUARES, and the valid-frame COUNT:
+#   mean  = mean_j(sum_j / n)                    (per-joint means, then subset mean)
+#   std   = sqrt(E[e^2] - E[e]^2) over the (n x |subset|) raw error matrix.
+# Accumulating those inside the jitted per-chunk program makes the whole eval
+# pass device-resident: ONE host readback per sequence instead of ~10 blocking
+# syncs per chunk (each a tunnel RTT). The host MetricsEngine above stays as
+# the parity oracle (tests pin stats-path metrics against it).
+# ---------------------------------------------------------------------------
+
+N_EUCL_JOINTS = C.N_JOINTS + 1   # root + 21 body joints (reference metrics.py:82)
+N_ANGLE_JOINTS = C.N_JOINTS      # body joints, root dropped (reference metrics.py:92)
+
+
+def metric_stats_init() -> Dict[str, jnp.ndarray]:
+    """Zeroed sufficient-statistics pytree (jit-carryable)."""
+    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+    return {
+        "n": z(),
+        "eucl_sum": z(N_EUCL_JOINTS), "eucl_sq": z(N_EUCL_JOINTS),
+        "pa_sum": z(N_EUCL_JOINTS), "pa_sq": z(N_EUCL_JOINTS),
+        "ang_sum": z(N_ANGLE_JOINTS), "ang_sq": z(N_ANGLE_JOINTS),
+    }
+
+
+def _valid_mask_device(n: int, f: int, seq_lengths, frame_mask) -> jnp.ndarray:
+    """(N, F) bool validity mask — device twin of MetricsEngine._valid_mask."""
+    if seq_lengths is None:
+        mask = jnp.ones((n, f), bool)
+    else:
+        mask = jnp.arange(f)[None, :] < seq_lengths[:, None]
+    if frame_mask is not None:
+        fm = frame_mask
+        if fm.ndim == 3:
+            fm = ~jnp.any(fm == 0, axis=-1)
+        mask = mask & fm.astype(bool)
+    return mask
+
+
+def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_hat,
+                        shape_hat=None, seq_lengths=None, pose_root=None,
+                        pose_root_hat=None, frame_mask=None) -> Dict[str, jnp.ndarray]:
+    """Jittable masked accumulation over one (N, F) window.
+
+    Same inputs/semantics as :meth:`MetricsEngine.compute` (reference
+    metrics.py:183-241): FK on GT and predicted params, per-joint Euclidean /
+    Procrustes-aligned / global-orientation-geodesic errors, summed over the
+    valid frames only.
+
+    :param shape: (N, n_betas) per-sequence GT betas.
+    :param shape_hat: (N, n_betas) predicted betas (chunk-0-frozen upstream)
+      or None to reuse GT shape.
+    """
+    n, f = pose.shape[0], pose.shape[1]
+    if shape_hat is None:
+        shape_hat = shape
+    mask = _valid_mask_device(n, f, seq_lengths, frame_mask).reshape(n * f)
+
+    rows = n * f
+    p = pose.reshape(rows, -1)
+    p_hat = pose_hat.reshape(rows, -1)
+    s = jnp.broadcast_to(shape[:, None], (n, f, shape.shape[-1])).reshape(rows, -1)
+    s_hat = jnp.broadcast_to(shape_hat[:, None], (n, f, shape_hat.shape[-1])).reshape(rows, -1)
+    if pose_root is None:
+        r = jnp.zeros((rows, 3), p.dtype)
+        r_hat = r
+    else:
+        r = pose_root.reshape(rows, 3)
+        r_hat = pose_root_hat.reshape(rows, 3)
+
+    _, kp = smplh_fk(smpl, p, s, r, want_vertices=False)
+    _, kp_hat = smplh_fk(smpl, p_hat, s_hat, r_hat, want_vertices=False)
+    kp = kp[:, :N_EUCL_JOINTS]
+    kp_hat = kp_hat[:, :N_EUCL_JOINTS]
+
+    diff = kp - kp_hat
+    eucl = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    kp_hat_pa = jax.vmap(procrustes_align)(kp, kp_hat)
+    diff_pa = kp - kp_hat_pa
+    eucl_pa = jnp.sqrt(jnp.sum(diff_pa * diff_pa, axis=-1))
+    angles = _angle_dists(p, p_hat, C.SMPL_PARENTS)
+
+    def acc(x):
+        return jnp.sum(jnp.where(mask[:, None], x, 0.0), axis=0)
+
+    return {
+        "n": stats["n"] + jnp.sum(mask.astype(jnp.float32)),
+        "eucl_sum": stats["eucl_sum"] + acc(eucl),
+        "eucl_sq": stats["eucl_sq"] + acc(eucl * eucl),
+        "pa_sum": stats["pa_sum"] + acc(eucl_pa),
+        "pa_sq": stats["pa_sq"] + acc(eucl_pa * eucl_pa),
+        "ang_sum": stats["ang_sum"] + acc(angles),
+        "ang_sq": stats["ang_sq"] + acc(angles * angles),
+    }
+
+
+def metric_stats_merge(a: Dict, b: Dict) -> Dict:
+    """Host-side f64 merge of two stats pytrees (overall = Σ per-sequence)."""
+    return {k: np.asarray(a[k], np.float64) + np.asarray(b[k], np.float64) for k in a}
+
+
+def metrics_from_stats(stats: Dict) -> Dict[str, float]:
+    """Aggregate sufficient statistics to the reference's metric dict.
+
+    Exactly :meth:`MetricsEngine.get_metrics` semantics (reference
+    metrics.py:289-330), computed from (Σe, Σe², n) in float64.
+    """
+    st = {k: np.asarray(v, np.float64) for k, v in stats.items()}
+    n = float(st["n"])
+    if n == 0:
+        return {"MPJPE [mm]": 0.0, "MPJPE STD": 0.0, "PA-MPJPE [mm]": 0.0,
+                "PA-MPJPE STD": 0.0, "MPJAE [deg]": 0.0, "MPJAE STD": 0.0}
+
+    def agg(sum_j, sq_j, idxs):
+        mean = float(np.mean(sum_j[idxs] / n))
+        k = n * len(idxs)
+        m1 = sum_j[idxs].sum() / k
+        m2 = sq_j[idxs].sum() / k
+        return mean, float(np.sqrt(max(m2 - m1 * m1, 0.0)))
+
+    e_mean, e_std = agg(st["eucl_sum"], st["eucl_sq"], list(EUCL_IDXS))
+    pa_mean, pa_std = agg(st["pa_sum"], st["pa_sq"], list(EUCL_IDXS))
+    a_mean, a_std = agg(st["ang_sum"], st["ang_sq"], list(ANGLE_IDXS))
+    return {
+        "MPJPE [mm]": e_mean * 1000.0,
+        "MPJPE STD": e_std * 1000.0,
+        "PA-MPJPE [mm]": pa_mean * 1000.0,
+        "PA-MPJPE STD": pa_std * 1000.0,
+        "MPJAE [deg]": a_mean,
+        "MPJAE STD": a_std,
+    }
 
 
 class MetricsEngine:

@@ -124,7 +124,15 @@ def _one_pass_stats(x, axes, m0):
     ~|batch_mean - m0|^2 * 2^-24 — negligible once the running stat tracks
     the batch stat, and exactly the unshifted formula at init (m0 == 0) —
     instead of ~|mean|^2 * 2^-24, which is catastrophic for a channel whose
-    mean dwarfs its spread. Clamped at 0 for safety."""
+    mean dwarfs its spread. Clamped at 0 for safety.
+
+    Early-step regime (m0 == 0, accepted + pinned by
+    test_bn_one_pass_stats_step0_regime): BN inputs here are post-Linear
+    activations with torch-uniform init, so |batch mean| stays O(10) while
+    the spread is O(1) — the unshifted cancellation error is then
+    <= |mean|^2 * 2^-24 ~ 1e-5 absolute on var, invisible next to BN_EPS.
+    The pathological |mean|^2/var ~ 1e8 channels only emerge once running
+    stats exist to shift by."""
     xc = x - m0
     d = jnp.mean(xc, axis=axes, keepdims=True)
     d_sq = jnp.mean(jnp.square(xc), axis=axes, keepdims=True)

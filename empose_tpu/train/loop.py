@@ -387,16 +387,26 @@ class Trainer:
     def restore(self, path: str) -> None:
         try:
             restored = ckpt.restore_train_state(path, self.train_state_dict())
-        except Exception:
+        except Exception as orig:
             # Legacy checkpoint written before the optimizer switched to
             # optax.flatten (one raveled mu/nu vector): its opt_state holds
             # per-leaf adam trees. Restore against the legacy template and
             # ravel — flatten() uses ravel_pytree's leaf order, so raveling
             # mu/nu over the params structure reproduces its state exactly.
+            # A genuinely corrupt/incompatible checkpoint fails this retry
+            # too; chain the ORIGINAL failure so it isn't masked by a
+            # confusing second structure-mismatch error.
             tmpl = self.train_state_dict()
             tmpl["opt_state"] = optax.adam(self.config.lr).init(self.params)
-            restored = ckpt.restore_train_state(path, tmpl)
-            restored["opt_state"] = _flatten_legacy_opt_state(restored["opt_state"])
+            try:
+                restored = ckpt.restore_train_state(path, tmpl)
+                restored["opt_state"] = _flatten_legacy_opt_state(restored["opt_state"])
+            except Exception:  # retry failure stays chained as __context__
+                raise RuntimeError(
+                    f"Checkpoint restore from {path!r} failed against both the "
+                    "current (flattened-Adam) and the legacy (per-leaf Adam) "
+                    "train-state layouts; the checkpoint is corrupt or from an "
+                    "incompatible model/config.") from orig
         self.params = restored["params"]
         self.state = restored["state"]
         self.opt_state = restored["opt_state"]

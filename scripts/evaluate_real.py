@@ -58,7 +58,8 @@ def main(args):
     rows, overall = evaluate_real_sequences(
         session, loader, window_size,
         visualize_index=getattr(args, "visualize", -1),
-        visualize_dir=os.path.join(model_dir, "visualize"))
+        visualize_dir=os.path.join(model_dir, "visualize"),
+        host_metrics=getattr(args, "host_metrics", False))
     print_metric_table(rows, args.model_id)
     return overall
 
@@ -79,6 +80,10 @@ if __name__ == "__main__":
                         "Table-2 mode); 'high' = 3-pass bf16 (near-f32-exact, "
                         "~2x MXU throughput); 'default' = bf16-input fast mode "
                         "(measured sub-0.04mm MPJPE shift, see README).")
+    p.add_argument("--host_metrics", action="store_true",
+                   help="Use the host MetricsEngine loop (the parity oracle) instead "
+                        "of the default device-resident stats accumulation (one host "
+                        "sync per sequence).")
     p.add_argument("--visualize", type=int, default=-1,
                    help="Dump skeleton/mesh artifacts (npz + OBJ) for the sequence with "
                         "this index into <model_dir>/visualize/ (the reference's flag "

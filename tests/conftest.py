@@ -24,6 +24,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running integration tests (>=20 s on the 1-CPU CI host). "
+        "`pytest -m 'not slow'` is the fast smoke tier for iteration; the "
+        "FULL suite stays the merge gate.")
+
+
 @pytest.fixture(scope="session")
 def synthetic_smplh_npz():
     from empose_tpu.bodymodel.synthetic import make_synthetic_smplh

@@ -252,6 +252,7 @@ def test_emr_batch_loader(assets_env):
 
 @pytest.mark.parametrize("noise_level,randomize", [(-1, False), (-1, True), (0, True),
                                                    (1, True), (2, True), (3, True)])
+@pytest.mark.slow
 def test_fused_datagen_matches_two_step(assets_env, smplh_model, noise_level, randomize):
     """The fused lane-major datagen (FK + offset application in one
     lane-domain program, transforms.py::smpl_fk_markers_with_offsets) must be

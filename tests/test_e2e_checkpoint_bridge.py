@@ -99,6 +99,7 @@ def torch_forward(t_model, cfg, chunk, is_new: bool):
 
 
 @pytest.mark.parametrize("kind,n_markers", VARIANTS)
+@pytest.mark.slow
 def test_released_variant_pth_to_cli_parity(kind, n_markers, assets_env, tmp_path, monkeypatch):
     exp_dir = str(tmp_path / "experiments")
     os.makedirs(exp_dir)

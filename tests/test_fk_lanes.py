@@ -219,6 +219,7 @@ def test_fk_precision_knob(sensor):
     np.testing.assert_allclose(np.asarray(a[2]), np.asarray(b[2]), atol=2e-2)
 
 
+@pytest.mark.slow
 def test_ief_forward_lanes_toggle(smplh_model):
     """The full LGD model produces near-identical outputs with lanes on/off."""
     from empose_tpu.config import Configuration

@@ -274,6 +274,32 @@ def test_bn_one_pass_stats_survive_large_mean():
     assert float(jnp.max(jnp.abs(y_m * m[:, None]))) < 10.0
 
 
+def test_bn_one_pass_stats_step0_regime():
+    """Step-0 conditions (running mean == 0): the one-pass variance degrades
+    to the unshifted E[x^2]-E[x]^2 form. Pin the acceptable error there for
+    the realistic init regime — post-Linear activations with |mean| up to
+    O(10) over O(1) spread — where the cancellation error is bounded by
+    |mean|^2 * 2^-24 and must stay invisible next to BN_EPS."""
+    rng = np.random.RandomState(2)
+    base = rng.randn(4096, 8).astype(np.float32)
+    offs = np.array([0.0, 0.5, -1.0, 4.0, -8.0, 16.0, -32.0, 32.0], np.float32)
+    x = jnp.asarray(base + offs)
+    p = {"scale": jnp.ones((8,), jnp.float32), "bias": jnp.zeros((8,), jnp.float32)}
+    # Freshly initialized running stats: mean 0, var 1 (the m0 == 0 regime).
+    s = {"mean": jnp.zeros((8,), jnp.float32), "var": jnp.ones((8,), jnp.float32)}
+    y, ns = L.batch_norm_apply(p, s, x, True, None)
+    exact_var = base.var(axis=0).astype(np.float64)
+    got_var = (np.asarray(ns["var"], np.float64) - (1 - L.BN_MOMENTUM) * 1.0) / L.BN_MOMENTUM
+    # Unbiased-correction factor as in the converged-regime test.
+    np.testing.assert_allclose(got_var * (4096 / 4095), exact_var, rtol=1e-3)
+    # Batch-normalized outputs are exactly standardized: O(1) everywhere.
+    assert float(jnp.max(jnp.abs(y))) < 10.0
+    # Masked path, same regime.
+    m = jnp.asarray((rng.rand(4096) > 0.3).astype(np.float32))
+    y_m, _ = L.batch_norm_apply(p, s, x, True, m)
+    assert float(jnp.max(jnp.abs(y_m * m[:, None]))) < 10.0
+
+
 def test_mlp_pair_grads_match_two_applies():
     """Pair-fused MLP (stacked GEMMs + stacked custom-VJP BN): value AND
     parameter gradients == two independent mlp_apply calls, train mode with

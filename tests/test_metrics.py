@@ -122,3 +122,56 @@ def test_compute_angle_dist_rotmat(smplh_model):
     engine.compute_angle_dist(pose, pose_hat, np.asarray([f]), rep="rotmat")
     m = engine.get_metrics(angle_idxs_select=False)
     np.testing.assert_allclose(m["MPJAE [deg]"], np.rad2deg(delta), rtol=1e-3)
+
+
+def test_metric_stats_match_engine(smplh_model):
+    """Device sufficient-statistics path == host MetricsEngine (the oracle).
+
+    Same inputs through MetricsEngine.compute and metric_stats_update /
+    metrics_from_stats, accumulated over two windows with masks, shape
+    estimates, and root poses — every metric agrees to float32 tolerance.
+    """
+    import jax
+    engine = ME.MetricsEngine(smplh_model)
+    rng = np.random.RandomState(7)
+    stats = ME.metric_stats_init()
+    smpl_dev = jax.device_put(smplh_model)
+    update = jax.jit(ME.metric_stats_update)
+
+    for chunk in range(2):
+        n, f = 2, 5
+        pose = (rng.randn(n, f, 63) * 0.2).astype(np.float32)
+        shape = (rng.randn(n, 10) * 0.3).astype(np.float32)
+        shape_hat = shape + rng.randn(n, 10).astype(np.float32) * 0.05
+        pose_hat = pose + rng.randn(n, f, 63).astype(np.float32) * 0.02
+        root = (rng.randn(n, f, 3) * 0.2).astype(np.float32)
+        root_hat = root + rng.randn(n, f, 3).astype(np.float32) * 0.01
+        lengths = np.asarray([f, f - 2], np.int32)
+        marker_mask = np.ones((n, f, 12), np.float32)
+        marker_mask[0, 1, 4] = 0.0  # one frame excluded by sensor mask
+
+        engine.compute(pose, shape, pose_hat, shape_hat, lengths, root, root_hat,
+                       frame_mask=marker_mask)
+        stats = update(smpl_dev, stats, jnp.asarray(pose), jnp.asarray(shape),
+                       jnp.asarray(pose_hat), jnp.asarray(shape_hat),
+                       jnp.asarray(lengths), jnp.asarray(root), jnp.asarray(root_hat),
+                       jnp.asarray(marker_mask))
+
+    m_engine = engine.get_metrics()
+    m_stats = ME.metrics_from_stats(jax.device_get(stats))
+    assert set(m_engine) == set(m_stats)
+    for k in m_engine:
+        np.testing.assert_allclose(m_stats[k], m_engine[k], rtol=2e-4, atol=2e-3,
+                                   err_msg=k)
+
+
+def test_metric_stats_empty_and_degenerate():
+    """Zero valid frames -> all-zero metrics, no NaN from the masked rows."""
+    import jax
+    stats = ME.metric_stats_init()
+    m = ME.metrics_from_stats(jax.device_get(stats))
+    assert all(v == 0.0 for v in m.values())
+    # Degenerate Procrustes input (all points equal) stays finite.
+    X = jnp.zeros((20, 3))
+    Z = np.asarray(ME.procrustes_align(X, X))
+    assert np.all(np.isfinite(Z))

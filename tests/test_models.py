@@ -98,6 +98,7 @@ def make_ief_pair(cfg, synthetic_smplh_npz, smplh_model):
     (True, False, 6),
     (True, True, 12),
 ])
+@pytest.mark.slow
 def test_ief_parity(use_gradient, rnn_init, n_markers, synthetic_smplh_npz, smplh_model):
     torch.manual_seed(2)
     cfg = base_config(m_type="lgd", m_num_iterations=2, m_hidden_size=32, m_num_layers=1,

@@ -30,6 +30,7 @@ def test_pad_batch_to_devices():
     assert list(out["seq_lengths"][:5]) == [4, 3, 2, 4, 1]
 
 
+@pytest.mark.slow
 def test_padded_dp_step_exact_batch_mean(assets_env):
     """A non-divisible batch (5 samples) padded onto the 8-device mesh yields
     the same losses and updated params as the unpadded batch on one device:
@@ -149,6 +150,7 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multihost_dp_step_two_processes():
     """Multi-host (DCN) path exercised for real: two OS processes, 2 CPU
     devices each, jax.distributed via parallel.mesh.init_distributed, one

@@ -73,6 +73,7 @@ def variant_config(kind, n_markers):
 
 
 @pytest.mark.parametrize("kind,n_markers", RELEASED_VARIANTS)
+@pytest.mark.slow
 def test_released_variant_builds_and_runs(kind, n_markers):
     cfg = variant_config(kind, n_markers)
     model, _ = GE._build_model(cfg)

@@ -253,6 +253,7 @@ def test_multi_stream_mesh_sharded(rnn_setup):
                                    atol=1e-5, err_msg=f"post-reset stream {i}")
 
 
+@pytest.mark.slow
 def test_multi_stream_mesh_lstm_kernel(rnn_setup, monkeypatch):
     """The weight-resident LSTM kernel under the DP-sharded serving trace:
     its custom_partitioning rule (ops/lstm_kernel.py) runs the kernel on each

@@ -99,6 +99,7 @@ def test_bf16_flag_binds_precision_knobs(assets_env):
         L._HI, FK._HI = old_nn, old_fk
 
 
+@pytest.mark.slow
 def test_steps_per_call_mixed_time_buckets(assets_env, tmp_path):
     """Both loaders bucket the TIME axis per batch (round_up(max len, 32)),
     so consecutive batches can share a batch size but differ in frame
@@ -240,6 +241,7 @@ def test_evaluate_real_visualize_artifacts(assets_env, trained_dir, monkeypatch)
     assert first[0] == "v" and len(first) == 4
 
 
+@pytest.mark.slow
 def test_evaluate_real_suppression_study(assets_env, trained_dir, monkeypatch):
     """--suppression_length drives the sensor-dropout robustness study through
     the CLI (reference wires suppression noise into validation,
@@ -286,6 +288,34 @@ def test_streaming_eval_windowed_vs_full(assets_env, trained_dir, monkeypatch):
     rows_full, overall_full = evaluate_real_sequences(session, loader, None, pad_multiple=32)
     rows_win, overall_win = evaluate_real_sequences(session, loader, 32)
     np.testing.assert_allclose(overall_win["MPJPE [mm]"], overall_full["MPJPE [mm]"], rtol=1e-3)
+
+
+def test_device_metrics_match_host_oracle(assets_env, trained_dir, monkeypatch):
+    """Device-resident stats eval (default) == host-MetricsEngine eval (oracle).
+
+    Windowed run: multiple chunks per sequence exercise the stats carry AND
+    the chunk-0 shape freeze (111000 estimates shape); full-sequence run
+    exercises the pad_multiple path. Every per-sequence row and the overall
+    row agree to float32 accumulation tolerance."""
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences, load_model
+    from empose_tpu.data.datasets import RealDataset, Loader
+    from empose_tpu.data.batches import collate_real
+
+    model, params, state, cfg, model_dir, sensor = load_model("111000")
+    ds = RealDataset(C.data_dir_real())
+    loader = Loader(ds, 1, collate_real, shuffle=False)
+    session = EvalSession(model, params, state, sensor)
+    for ws, pad in ((16, 256), (None, 32)):
+        rows_dev, overall_dev = evaluate_real_sequences(session, loader, ws, pad_multiple=pad)
+        rows_host, overall_host = evaluate_real_sequences(session, loader, ws, pad_multiple=pad,
+                                                          host_metrics=True)
+        assert [r[0] for r in rows_dev] == [r[0] for r in rows_host]
+        for rd, rh in zip(rows_dev, rows_host):
+            np.testing.assert_allclose(rd[1:], rh[1:], rtol=5e-4, atol=5e-3, err_msg=rd[0])
+        for k in overall_host:
+            np.testing.assert_allclose(overall_dev[k], overall_host[k], rtol=5e-4, atol=5e-3,
+                                       err_msg=k)
 
 
 def test_train_ief_with_gradient(assets_env, trained_dir, monkeypatch):

@@ -39,6 +39,7 @@ def _ief_cfg(use_gradient):
 
 
 @pytest.mark.parametrize("use_gradient", [False, True])
+@pytest.mark.slow
 def test_ief_training_grads_match_torch(use_gradient, synthetic_smplh_npz, smplh_model):
     torch.manual_seed(0)
     cfg = _ief_cfg(use_gradient)
@@ -161,6 +162,7 @@ def test_ief_streaming_chunks_match_torch(synthetic_smplh_npz, smplh_model):
     np.testing.assert_allclose(full_j, full_t, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat(synthetic_smplh_npz, smplh_model):
     """jax.checkpoint in the LGD loop changes memory, not values/grads."""
     import jax
