@@ -63,6 +63,42 @@ def run_study(model_id, lengths, markers_list, window_size=None, cross_subject=F
     return rows
 
 
+def check_monotone(rows, tol_mm=2.0):
+    """Regression check: MPJPE degradation must be monotone in suppression
+    length (per marker count) and in marker count (per length), within
+    ``tol_mm`` of eval noise. Dropping MORE sensor signal for LONGER must
+    not make a healthy model BETTER — a violation means the robustness
+    behavior regressed (or the noise injection broke).
+
+    :return: list of human-readable violations (empty = pass).
+    """
+    base = next(r for r in rows if r["suppression_length"] == 0.0)
+    violations = []
+    by_markers = {}
+    for r in rows:
+        if r["suppression_length"] > 0.0:
+            by_markers.setdefault(r["suppression_markers"], []).append(r)
+    for m, rs in by_markers.items():
+        chain = [base] + sorted(rs, key=lambda r: r["suppression_length"])
+        for a, b in zip(chain, chain[1:]):
+            if b["MPJPE [mm]"] < a["MPJPE [mm]"] - tol_mm:
+                violations.append(
+                    f"markers={m}: MPJPE {b['MPJPE [mm]']:.2f} at length "
+                    f"{b['suppression_length']} < {a['MPJPE [mm]']:.2f} at "
+                    f"length {a['suppression_length']} (tol {tol_mm} mm)")
+    lengths = sorted({r["suppression_length"] for r in rows if r["suppression_length"] > 0.0})
+    for l in lengths:
+        chain = sorted((r for r in rows if r["suppression_length"] == l),
+                       key=lambda r: r["suppression_markers"])
+        for a, b in zip(chain, chain[1:]):
+            if b["MPJPE [mm]"] < a["MPJPE [mm]"] - tol_mm:
+                violations.append(
+                    f"length={l}: MPJPE {b['MPJPE [mm]']:.2f} with "
+                    f"{b['suppression_markers']} markers dropped < "
+                    f"{a['MPJPE [mm]']:.2f} with {a['suppression_markers']} (tol {tol_mm} mm)")
+    return violations
+
+
 def to_table(rows) -> str:
     from tabulate import tabulate
     keys = [k for k in rows[0] if k not in ("suppression_markers", "suppression_length")]
@@ -94,9 +130,17 @@ def main():
                      args.cross_subject)
     print()
     print(to_table(rows))
+    violations = check_monotone(rows)
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(rows, f, indent=2)
+            json.dump({"rows": rows, "monotone_ok": not violations,
+                       "violations": violations}, f, indent=2)
+    if violations:
+        print("\nMONOTONICITY VIOLATIONS (robustness regression):")
+        for v in violations:
+            print("  " + v)
+        sys.exit(1)
+    print("\nmonotonicity check: OK (degradation monotone in length and marker count)")
 
 
 if __name__ == "__main__":
