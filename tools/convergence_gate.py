@@ -46,6 +46,13 @@ def main():
     p.add_argument("--resume_k", type=int, default=30,
                    help="Steps per phase of the kill/resume check.")
     p.add_argument("--assets", default="/tmp/gate_assets")
+    p.add_argument("--matmul_precision", default="highest",
+                   choices=("highest", "high", "default"),
+                   help="Run the whole gate (training + resume) at this NN/FK "
+                        "matmul precision — the same knob as scripts/train.py. "
+                        "Gating 'high' (and 'default') pins the TRAINING "
+                        "DYNAMICS of the fast modes users are pointed at for "
+                        "speed, not just their one-step numerics.")
     args = p.parse_args()
 
     d = args.assets
@@ -73,7 +80,8 @@ def main():
         m_rnn_hidden_size=512, m_reprojection_loss_weight=0.01, m_fk_loss=0.1,
         m_pose_loss_weight=10.0, use_marker_pos=True, use_marker_ori=True,
         use_real_offsets=True, offset_noise_level=0, n_markers=6,
-        window_size=32, bs_train=12, bs_eval=12, lr=5e-4, seed=17))
+        window_size=32, bs_train=12, bs_eval=12, lr=5e-4, seed=17,
+        matmul_precision=args.matmul_precision))
 
     corpus = os.path.join(d, "data_synth", "amass_emr")
     test_loader = Loader(RealDataset(os.environ["EM_DATA_REAL"]), 1,
@@ -126,13 +134,16 @@ def main():
     # model factory for robustness studies.
     from empose_tpu.utils.experiments import get_model_dir
     exp_root = os.environ["EM_EXPERIMENTS"]
-    model_dir = get_model_dir(exp_root, "920000")
+    # One experiment id per precision mode so a 'high' gate run can't clobber
+    # the strict-precision model that robustness studies load.
+    exp_id = {"highest": "920000", "high": "920001", "default": "920002"}[args.matmul_precision]
+    model_dir = get_model_dir(exp_root, exp_id)
     if model_dir is None:
-        model_dir = os.path.join(exp_root, "920000-gate-lgd-rnn6")
+        model_dir = os.path.join(exp_root, f"{exp_id}-gate-lgd-rnn6-{args.matmul_precision}")
         os.makedirs(model_dir, exist_ok=True)
     cfg.to_json(os.path.join(model_dir, "config.json"))
     trainer.save(os.path.join(model_dir, "checkpoint"))
-    print(f"trained model saved as experiment 920000 ({model_dir})", flush=True)
+    print(f"trained model saved as experiment {exp_id} ({model_dir})", flush=True)
 
     if not (mpjpe_0 > MPJPE_START_MIN):
         failures.append(f"untrained MPJPE {mpjpe_0:.1f} <= {MPJPE_START_MIN} (corpus drifted?)")
@@ -173,6 +184,7 @@ def main():
 
     result = {
         "gate": "convergence+resume",
+        "matmul_precision": args.matmul_precision,
         "steps": args.steps,
         "mpjpe_before_mm": round(mpjpe_0, 2),
         "mpjpe_after_mm": round(mpjpe_N, 2),

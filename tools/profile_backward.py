@@ -38,6 +38,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--window", type=int, default=256)
+    p.add_argument("--precision", default="highest",
+                   choices=("highest", "high", "default"),
+                   help="NN/FK matmul precision — the scripts/train.py knob; "
+                        "attribute the backward at the precision the step-time "
+                        "headline actually runs.")
     args = p.parse_args()
 
     import jax
@@ -47,6 +52,11 @@ def main():
     force_synchronous_dispatch()
     import __graft_entry__ as GE
     from empose_tpu.nn import layers as L
+
+    if args.precision != "highest":
+        from empose_tpu.ops.fk_lanes import set_fk_precision
+        L.set_nn_precision(args.precision)
+        set_fk_precision(args.precision)
 
     config = GE._flagship_config(tiny=False)
     config.bs_train, config.window_size = args.batch, args.window
@@ -163,7 +173,8 @@ def main():
         return jax.tree.map(lambda a, b: a - 1e-30 * b, p, g)
     rows.append(("FULL model fwd+grad", timeit_chain(full_grad, params)))
 
-    print(f"batch {n} x window {f} ({nf} frames), N={config.m_num_iterations} LGD iterations")
+    print(f"batch {n} x window {f} ({nf} frames), N={config.m_num_iterations} "
+          f"LGD iterations, precision={args.precision}")
     for name, ms in rows:
         print(f"  {name:34s} {ms:8.2f} ms")
 
