@@ -32,6 +32,7 @@ import numpy as np
 # One timing harness for both profilers — a methodology fix must hit both or
 # their numbers stop being comparable.
 from tools.profile_train import timeit_chain
+from bench import _xla_flops
 
 
 def main():
@@ -89,13 +90,13 @@ def main():
     @jax.jit
     def fk_fwd(p):
         return couple(p, fk(p, shape0))
-    rows.append(("lane FK+sensors fwd (x1)", timeit_chain(fk_fwd, pose0)))
+    rows.append(("lane FK+sensors fwd (x1)", timeit_chain(fk_fwd, pose0), _xla_flops(fk_fwd, pose0)))
 
     @jax.jit
     def fk_grad(p):
         g = jax.grad(fk)(p, shape0)
         return p - 1e-30 * g
-    rows.append(("lane FK+sensors fwd+grad (x1)", timeit_chain(fk_grad, pose0)))
+    rows.append(("lane FK+sensors fwd+grad (x1)", timeit_chain(fk_grad, pose0), _xla_flops(fk_grad, pose0)))
 
     # ---- init LSTM (kernel pair at batch >= gate) --------------------------
     dof = 36 + 108 if config.n_markers == 12 else 18 + 54
@@ -112,13 +113,13 @@ def main():
     @jax.jit
     def lstm_fwd(xx):
         return couple(xx, jnp.sum(lstm(params["rnn"], xx)))
-    rows.append(("init LSTM fwd", timeit_chain(lstm_fwd, x)))
+    rows.append(("init LSTM fwd", timeit_chain(lstm_fwd, x), _xla_flops(lstm_fwd, x)))
 
     @jax.jit
     def lstm_grad(pr):
         g = jax.grad(lambda q: jnp.sum(lstm(q, x)))(pr)
         return jax.tree.map(lambda a, b: a - 1e-30 * b, pr, g)
-    rows.append(("init LSTM fwd+grad", timeit_chain(lstm_grad, params["rnn"])))
+    rows.append(("init LSTM fwd+grad", timeit_chain(lstm_grad, params["rnn"]), _xla_flops(lstm_grad, params["rnn"])))
 
     # ---- pair-fused iter MLPs (x1; the loop runs them N times) ------------
     iter_dim = dof + 66 + 10 + (66 + 10 if config.m_use_gradient else 0)
@@ -136,7 +137,7 @@ def main():
     @jax.jit
     def mlp_fwd(xx):
         return couple(xx, mlps(params, xx))
-    rows.append(("iter MLP pair fwd (x1)", timeit_chain(mlp_fwd, xi)))
+    rows.append(("iter MLP pair fwd (x1)", timeit_chain(mlp_fwd, xi), _xla_flops(mlp_fwd, xi)))
 
     mlp_params = {k: params[k] for k in ("pose_net_iter", "shape_net_iter")}
 
@@ -144,7 +145,7 @@ def main():
     def mlp_grad(pp):
         g = jax.grad(mlps)(pp, xi)
         return jax.tree.map(lambda a, b: a - 1e-30 * b, pp, g)
-    rows.append(("iter MLP pair fwd+grad (x1)", timeit_chain(mlp_grad, mlp_params)))
+    rows.append(("iter MLP pair fwd+grad (x1)", timeit_chain(mlp_grad, mlp_params), _xla_flops(mlp_grad, mlp_params)))
 
     # ---- full model fwd / fwd+grad (context) -------------------------------
     batch = GE._tiny_batch(rng, n=n, f=f)
@@ -165,18 +166,21 @@ def main():
     @jax.jit
     def full_fwd(p):
         return couple(p, full_loss(p))
-    rows.append(("FULL model fwd+loss", timeit_chain(full_fwd, params)))
+    rows.append(("FULL model fwd+loss", timeit_chain(full_fwd, params), _xla_flops(full_fwd, params)))
 
     @jax.jit
     def full_grad(p):
         g = jax.grad(full_loss)(p)
         return jax.tree.map(lambda a, b: a - 1e-30 * b, p, g)
-    rows.append(("FULL model fwd+grad", timeit_chain(full_grad, params)))
+    rows.append(("FULL model fwd+grad", timeit_chain(full_grad, params), _xla_flops(full_grad, params)))
 
     print(f"batch {n} x window {f} ({nf} frames), N={config.m_num_iterations} "
           f"LGD iterations, precision={args.precision}")
-    for name, ms in rows:
-        print(f"  {name:34s} {ms:8.2f} ms")
+    for name, ms, flops in rows:
+        # Achieved TFLOP/s per XLA's own cost model of the lowered program —
+        # turns the floor subtraction into per-component occupancy numbers.
+        eff = f"  {flops / 1e9:7.1f} GFLOP  {flops / (ms * 1e9):6.2f} TFLOP/s" if flops else ""
+        print(f"  {name:34s} {ms:8.2f} ms{eff}")
 
 
 if __name__ == "__main__":
