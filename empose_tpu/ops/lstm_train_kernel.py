@@ -57,8 +57,31 @@ if _PALLAS_OK:
 
 
 def fits_vmem_layer(hidden: int) -> bool:
-    """One direction-layer's recurrent weights resident at once."""
-    return hidden * 4 * hidden * 4 <= _VMEM_WEIGHT_BUDGET
+    """One direction-layer's recurrent weights resident at once (f32 +
+    the HIGH mode's bf16 hi/lo splits: 4H^2 * (4 + 2 + 2) bytes)."""
+    return hidden * 4 * hidden * 8 <= _VMEM_WEIGHT_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# In-kernel 3-pass bf16 emulation of ``lax.Precision.HIGH``. Mosaic raises on
+# HIGH, and the old clamp to HIGHEST ran the serial gate GEMMs as 6-pass f32
+# emulation — twice the MXU passes the caller asked to pay for. The splits of
+# the RESIDENT weights happen once (t == 0, into bf16 VMEM scratch); only the
+# small per-step activation split is paid every step. Same decomposition XLA
+# uses for bf16_3x: a@b ~= ah@bh + al@bh + ah@bl (al@bl dropped, one bf16
+# rounding of each operand).
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, w_hi, w_lo, dn=(((1,), (0,)), ((), ()))):
+    a_hi, a_lo = _split_bf16(a)
+    return (lax.dot_general(a_hi, w_hi, dn, preferred_element_type=jnp.float32)
+            + lax.dot_general(a_lo, w_hi, dn, preferred_element_type=jnp.float32)
+            + lax.dot_general(a_hi, w_lo, dn, preferred_element_type=jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +89,11 @@ def fits_vmem_layer(hidden: int) -> bool:
 # streams: x_proj in; gate preactivations + carried (h, c) out.
 
 def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
+    high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
     def kernel(xp_ref, m_ref, whh_ref, h0_ref, c0_ref, *rest):
+        if high3:
+            *rest, whi_s, wlo_s = rest
         if save_gates:
             g_ref, h_ref, c_ref, h_s, c_s = rest
         else:
@@ -78,12 +104,19 @@ def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
         def _():
             h_s[:] = h0_ref[:]
             c_s[:] = c0_ref[:]
+            if high3:  # weight splits once, resident for all F steps
+                hi, lo = _split_bf16(whh_ref[:])
+                whi_s[:] = hi
+                wlo_s[:] = lo
 
         m = m_ref[0]  # (N, 1)
         h, c = h_s[:], c_s[:]
-        gates = xp_ref[0] + jnp.dot(h, whh_ref[:],
-                                    preferred_element_type=jnp.float32,
-                                    precision=precision)
+        if high3:
+            rec = _dot3(h, whi_s[:], wlo_s[:])
+        else:
+            rec = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32,
+                          precision=precision)
+        gates = xp_ref[0] + rec
         i = _sigmoid(gates[:, :hidden])
         f = _sigmoid(gates[:, hidden:2 * hidden])
         g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -134,7 +167,9 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
         scratch_shapes=[
             pltpu.VMEM((n, hidden), jnp.float32),
             pltpu.VMEM((n, hidden), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16),
+              pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16)]
+             if precision == lax.Precision.HIGH else []),
         interpret=interpret,
     )(x_proj, mask_col, w_hh, h0, c0)
 
@@ -145,9 +180,10 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
 # cotangents + saved gates/c_prev in, dgates out.
 
 def _make_bwd_kernel(hidden: int, precision):
+    high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
     def kernel(dh_ref, dc_ref, g_ref, cp_ref, m_ref, whh_ref,
-               dg_ref, dh0_ref, dc0_ref):
+               dg_ref, dh0_ref, dc0_ref, *scr):
         # The dh0/dc0 output blocks have constant index maps (VMEM-resident
         # for the whole grid), so they double as the reverse-sweep cotangent
         # carries — same pattern as the forward kernels' hf/cf blocks.
@@ -157,6 +193,10 @@ def _make_bwd_kernel(hidden: int, precision):
         def _():
             dh0_ref[:] = jnp.zeros_like(dh0_ref[:])
             dc0_ref[:] = jnp.zeros_like(dc0_ref[:])
+            if high3:
+                hi, lo = _split_bf16(whh_ref[:])
+                scr[0][:] = hi
+                scr[1][:] = lo
 
         m = m_ref[0]                       # (N, 1)
         Dh = dh0_ref[:] + dh_ref[0]        # total cotangent on carried h_t
@@ -184,10 +224,15 @@ def _make_bwd_kernel(hidden: int, precision):
         ], axis=-1)                        # (N, 4H)
         dg_ref[0] = dgates
         # ds_{t-1} through the gate matmul + the frozen-step bypass.
-        dh0_ref[:] = lax.dot_general(
-            dgates, whh_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision) + Dh * (1.0 - m)
+        if high3:
+            back = _dot3(dgates, scr[0][:], scr[1][:],
+                         dn=(((1,), (1,)), ((), ())))
+        else:
+            back = lax.dot_general(
+                dgates, whh_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision)
+        dh0_ref[:] = back + Dh * (1.0 - m)
         dc0_ref[:] = dc_new * f + Dc * (1.0 - m)
 
     return kernel
@@ -224,6 +269,9 @@ def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh,
                          memory_space=pltpu.VMEM),
             const_h, const_h,
         ),
+        scratch_shapes=([pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16),
+                         pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16)]
+                        if precision == lax.Precision.HIGH else []),
         interpret=interpret,
     )(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh)
 

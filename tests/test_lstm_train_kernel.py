@@ -148,6 +148,74 @@ def test_train_kernel_batch_sharded():
     assert "data" in str(out_sharded.sharding.spec), out_sharded.sharding
 
 
+def test_high_precision_three_pass_emulation():
+    """Under ``Precision.HIGH`` the kernels run Mosaic-side 3-pass bf16
+    emulation (Mosaic lacks HIGH; the old clamp paid 6-pass HIGHEST). The
+    forward must match a scan whose recurrent dot uses the SAME bf16_3x
+    decomposition, at bf16-reordering scale — NOT the f32 scan bitwise."""
+    from jax import lax
+    from empose_tpu.ops.lstm_train_kernel import _dot3, _split_bf16
+
+    rng = np.random.RandomState(7)
+    f, n, i, h = 9, 4, 6, 128
+    cell = L.lstm_init(jax.random.PRNGKey(3), i, h, 1)["layers"][0]["fwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([9, 5, 0, 7])
+    mask = _mixed_lengths_mask(f, lengths)
+    h0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+
+    def scan3(cell, x, mask, h0, c0):
+        whi, wlo = _split_bf16(cell["w_hh"])
+        xp = jnp.matmul(x, cell["w_ih"],
+                        precision=lax.Precision.HIGH) + cell["b_ih"] + cell["b_hh"]
+
+        def step(carry, inp):
+            hp, cp = carry
+            xpt, m = inp
+            gates = xpt + _dot3(hp, whi, wlo)
+            i_ = jax.nn.sigmoid(gates[:, :h])
+            f_ = jax.nn.sigmoid(gates[:, h:2 * h])
+            g_ = jnp.tanh(gates[:, 2 * h:3 * h])
+            o_ = jax.nn.sigmoid(gates[:, 3 * h:])
+            cn = f_ * cp + i_ * g_
+            hn = o_ * jnp.tanh(cn)
+            m1 = m[:, None]
+            return ((jnp.where(m1 > 0, hn, hp), jnp.where(m1 > 0, cn, cp)),
+                    jnp.where(m1 > 0, hn, hp) * m1)
+
+        (hF, cF), outs = jax.lax.scan(step, (h0, c0), (xp, mask))
+        return outs, (hF, cF)
+
+    out_k, (hk, ck) = lstm_cell_train_pallas(
+        cell, x, mask, h0, c0, precision=lax.Precision.HIGH, interpret=True)
+    out_r, (hr, cr) = scan3(cell, x, mask, h0, c0)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hk), np.asarray(hr),
+                               rtol=2e-3, atol=2e-4)
+
+    # Gradients through the 3-pass path track the f32 scan at the bf16_3x
+    # error scale (relative ~1e-3), for every cell param + input + state.
+    w = jnp.asarray(rng.randn(f, n, h).astype(np.float32))
+
+    def loss(run):
+        def fn(cell, x, h0, c0):
+            out, (hF, cF) = run(cell, x, mask, h0, c0)
+            return jnp.sum(out * w) + jnp.sum(hF ** 2) + jnp.sum(jnp.sin(cF))
+        return fn
+
+    g_ref = jax.grad(loss(L._lstm_cell_scan), argnums=(0, 1, 2, 3))(
+        cell, x, h0, c0)
+    kern3 = lambda *a: lstm_cell_train_pallas(
+        *a, precision=lax.Precision.HIGH, interpret=True)
+    g_k = jax.grad(loss(kern3), argnums=(0, 1, 2, 3))(cell, x, h0, c0)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(a)) + 1e-9
+        assert np.max(np.abs(a - b)) / scale < 5e-3
+
+
 def test_fits_vmem_layer_gate():
-    assert fits_vmem_layer(512)       # released stacks: 4 MB resident
-    assert not fits_vmem_layer(2048)  # 64 MB: must fall back to the scan
+    assert fits_vmem_layer(512)       # released stacks: 8 MB resident (f32 + bf16 splits)
+    assert not fits_vmem_layer(2048)  # >64 MB: must fall back to the scan
