@@ -49,28 +49,54 @@ def _sigmoid(x):
 
 def kernel_dot_precision(precision):
     """Mosaic (the Pallas TPU lowering) implements DEFAULT and HIGHEST dots
-    but raises on HIGH (bf16_3x). In-kernel GEMMs are only the small serial
-    (N, H) x (H, 4H) gate recurrences, so under a HIGH request they clamp to
-    HIGHEST (slightly more exact, same order of cost at these shapes) while
-    the large F*N-row projections OUTSIDE the kernels keep the caller's
-    3-pass HIGH."""
+    but raises on HIGH (bf16_3x). Kernels that take a plain precision use
+    this clamp for their non-HIGH modes; under HIGH every kernel family in
+    this file (and the train pair) instead runs the explicit 3-pass bf16
+    decomposition below, so the serial gate GEMMs pay 3 MXU passes — the
+    cost the caller asked for — not HIGHEST's 6."""
     from jax import lax as _lax
     return _lax.Precision.HIGHEST if precision == _lax.Precision.HIGH else precision
+
+
+def split_bf16(x):
+    """Round-to-bf16 hi/lo split: x ~= hi + lo with one bf16 rounding each.
+    The pair drives the same ``ah@bh + al@bh + ah@bl`` bf16_3x decomposition
+    XLA lowers ``Precision.HIGH`` to (al@bl dropped)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot3(a, w_hi, w_lo, dn=(((1,), (0,)), ((), ()))):
+    """3-pass bf16 emulation of an f32 ``Precision.HIGH`` dot against a
+    pre-split weight (``split_bf16``); the activation splits per call."""
+    a_hi, a_lo = split_bf16(a)
+    return (lax.dot_general(a_hi, w_hi, dn, preferred_element_type=jnp.float32)
+            + lax.dot_general(a_lo, w_hi, dn, preferred_element_type=jnp.float32)
+            + lax.dot_general(a_hi, w_lo, dn, preferred_element_type=jnp.float32))
 
 
 def _make_kernel(num_layers: int, hidden: int, precision):
     """Kernel body for a fixed (static) layer count.
 
-    Ref order: x0_proj block, mask block, w_hh_all, [w_ih_up, b_up,]
-    h0s, c0s, then outputs outs block, hF, cF.
+    Ref order: x0_proj block, mask block, w_hh_all (f32, or bf16 hi/lo pair
+    under HIGH), [w_ih_up (ditto), b_up,] h0s, c0s, then outputs outs
+    block, hF, cF.
     """
+    high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
 
-    def kernel(x0_ref, m_ref, w_hh_ref, *rest):
-        if num_layers > 1:
-            w_up_ref, b_up_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
+    def kernel(x0_ref, m_ref, *rest):
+        if high3:
+            whh_hi_ref, whh_lo_ref, *rest = rest
         else:
-            h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
+            w_hh_ref, *rest = rest
+        if num_layers > 1:
+            if high3:
+                wup_hi_ref, wup_lo_ref, b_up_ref, *rest = rest
+            else:
+                w_up_ref, b_up_ref, *rest = rest
+        h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
 
         t = pl.program_id(0)
 
@@ -84,14 +110,21 @@ def _make_kernel(num_layers: int, hidden: int, precision):
         for l in range(num_layers):
             if l == 0:
                 x_in = x0_ref[0]  # (N, 4H), bias already folded in
+            elif high3:
+                x_in = dot3(prev_out, wup_hi_ref[l - 1],
+                            wup_lo_ref[l - 1]) + b_up_ref[l - 1]
             else:
                 x_in = jnp.dot(prev_out, w_up_ref[l - 1],
                                preferred_element_type=jnp.float32,
                                precision=precision) + b_up_ref[l - 1]
             h, c = hf_ref[l], cf_ref[l]
-            gates = x_in + jnp.dot(h, w_hh_ref[l],
-                                   preferred_element_type=jnp.float32,
-                                   precision=precision)
+            if high3:
+                rec = dot3(h, whh_hi_ref[l], whh_lo_ref[l])
+            else:
+                rec = jnp.dot(h, w_hh_ref[l],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            gates = x_in + rec
             i = _sigmoid(gates[:, :hidden])
             f = _sigmoid(gates[:, hidden:2 * hidden])
             g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -117,24 +150,40 @@ except Exception:  # pragma: no cover - pallas ships with jax
 def _pallas_forward(x0_proj, mask_col, w_hh_all, w_ih_up, b_up, h0s, c0s,
                     *, num_layers: int, hidden: int, interpret: bool, precision):
     f, n = x0_proj.shape[0], x0_proj.shape[1]
+    high3 = precision == lax.Precision.HIGH
     kernel = _make_kernel(num_layers, hidden, precision)
 
+    w_spec = pl.BlockSpec((num_layers, hidden, 4 * hidden),
+                          lambda t: (0, 0, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, n, 4 * hidden), lambda t: (t, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, n, 1), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((num_layers, hidden, 4 * hidden), lambda t: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
     ]
-    args = [x0_proj, mask_col, w_hh_all]
+    args = [x0_proj, mask_col]
+    if high3:
+        # Pre-split outside the kernel: the bf16 hi/lo pair replaces the f32
+        # block at the SAME resident byte count (2+2 vs 4 per element), so
+        # fits_vmem is precision-independent.
+        in_specs += [w_spec, w_spec]
+        args += list(split_bf16(w_hh_all))
+    else:
+        in_specs += [w_spec]
+        args += [w_hh_all]
     if num_layers > 1:
+        wup_spec = pl.BlockSpec((num_layers - 1, hidden, 4 * hidden),
+                                lambda t: (0, 0, 0), memory_space=pltpu.VMEM)
+        if high3:
+            in_specs += [wup_spec, wup_spec]
+            args += list(split_bf16(w_ih_up))
+        else:
+            in_specs += [wup_spec]
+            args += [w_ih_up]
         in_specs += [
-            pl.BlockSpec((num_layers - 1, hidden, 4 * hidden),
-                         lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers - 1, 1, 4 * hidden),
                          lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
         ]
-        args += [w_ih_up, b_up]
+        args += [b_up]
     in_specs += [
         pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -262,11 +311,19 @@ def _make_wavefront_kernel(num_layers: int, hidden: int, precision):
     last row, fully masked), m_all block (per-layer shifted masks, zero
     where time t-l is out of range), w_hh0, w_cat (deeper layers'
     [w_ih; w_hh]), b_up, h0s, c0s, then outputs outs block, hF, cF, pipe
-    (the VMEM-resident wavefront state)."""
+    (the VMEM-resident wavefront state). Under HIGH the two weight refs
+    arrive as bf16 hi/lo pairs (pre-split outside)."""
+    high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
 
-    def kernel(x0_ref, m_ref, w_hh0_ref, w_cat_ref, b_up_ref, h0_ref, c0_ref,
-               out_ref, hf_ref, cf_ref, pipe_ref):
+    def kernel(x0_ref, m_ref, *rest):
+        if high3:
+            (whh0_hi_ref, whh0_lo_ref, wcat_hi_ref, wcat_lo_ref,
+             b_up_ref, h0_ref, c0_ref,
+             out_ref, hf_ref, cf_ref, pipe_ref) = rest
+        else:
+            (w_hh0_ref, w_cat_ref, b_up_ref, h0_ref, c0_ref,
+             out_ref, hf_ref, cf_ref, pipe_ref) = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -283,14 +340,22 @@ def _make_wavefront_kernel(num_layers: int, hidden: int, precision):
             m = m_ref[0, l]  # (N, 1): 1.0 iff time t-l is a valid frame
             h, c = hf_ref[l], cf_ref[l]
             if l == 0:
-                gates = x0_ref[0] + jnp.dot(h, w_hh0_ref[:],
-                                            preferred_element_type=jnp.float32,
-                                            precision=precision)
+                if high3:
+                    rec = dot3(h, whh0_hi_ref[:], whh0_lo_ref[:])
+                else:
+                    rec = jnp.dot(h, w_hh0_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=precision)
+                gates = x0_ref[0] + rec
             else:
                 inp = jnp.concatenate([pipe[l - 1], h], axis=-1)  # (N, 2H)
-                gates = jnp.dot(inp, w_cat_ref[l - 1],
-                                preferred_element_type=jnp.float32,
-                                precision=precision) + b_up_ref[l - 1]
+                if high3:
+                    gates = dot3(inp, wcat_hi_ref[l - 1],
+                                 wcat_lo_ref[l - 1]) + b_up_ref[l - 1]
+                else:
+                    gates = jnp.dot(inp, w_cat_ref[l - 1],
+                                    preferred_element_type=jnp.float32,
+                                    precision=precision) + b_up_ref[l - 1]
             i = _sigmoid(gates[:, :hidden])
             f = _sigmoid(gates[:, hidden:2 * hidden])
             g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -313,8 +378,20 @@ def _pallas_wavefront(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
                       *, num_layers: int, hidden: int, interpret: bool,
                       precision):
     f, n = x0_proj.shape[0], x0_proj.shape[1]
+    high3 = precision == lax.Precision.HIGH
     kernel = _make_wavefront_kernel(num_layers, hidden, precision)
     pad = num_layers - 1
+
+    whh0_spec = pl.BlockSpec((hidden, 4 * hidden), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    wcat_spec = pl.BlockSpec((max(pad, 1), 2 * hidden, 4 * hidden),
+                             lambda t: (0, 0, 0), memory_space=pltpu.VMEM)
+    if high3:
+        weight_args = list(split_bf16(w_hh0)) + list(split_bf16(w_cat))
+        weight_specs = [whh0_spec, whh0_spec, wcat_spec, wcat_spec]
+    else:
+        weight_args = [w_hh0, w_cat]
+        weight_specs = [whh0_spec, wcat_spec]
 
     outs, hF, cF, _ = pl.pallas_call(
         kernel,
@@ -333,10 +410,7 @@ def _pallas_wavefront(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_layers, n, 1), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, 4 * hidden), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(pad, 1), 2 * hidden, 4 * hidden),
-                         lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ] + weight_specs + [
             pl.BlockSpec((max(pad, 1), 1, 4 * hidden), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_layers, n, hidden), lambda t: (0, 0, 0),
@@ -359,7 +433,7 @@ def _pallas_wavefront(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(x0_proj, m_all, w_hh0, w_cat, b_up, h0s, c0s)
+    )(x0_proj, m_all, *weight_args, b_up, h0s, c0s)
     return outs, hF, cF
 
 
@@ -471,10 +545,16 @@ def _make_bidi_kernel(hidden: int, precision):
     so both cell updates run inside the same grid step (two MXU dots per
     step instead of one — better systolic-array occupancy at small batch).
     The backward direction consumes the per-sample length-REVERSED input, so
-    the single mask block serves both (valid frames are a prefix in both)."""
+    the single mask block serves both (valid frames are a prefix in both).
+    Under HIGH the weight ref arrives as a bf16 hi/lo pair (pre-split)."""
+    high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
 
-    def kernel(xp_ref, m_ref, w_hh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref):
+    def kernel(xp_ref, m_ref, *rest):
+        if high3:
+            whh_hi_ref, whh_lo_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
+        else:
+            w_hh_ref, h0_ref, c0_ref, out_ref, hf_ref, cf_ref = rest
         t = pl.program_id(0)
 
         @pl.when(t == 0)
@@ -486,9 +566,13 @@ def _make_bidi_kernel(hidden: int, precision):
         for d in range(2):  # static unroll: fwd, bwd
             x_in = xp_ref[0, d]  # (N, 4H), biases folded in
             h, c = hf_ref[d], cf_ref[d]
-            gates = x_in + jnp.dot(h, w_hh_ref[d],
-                                   preferred_element_type=jnp.float32,
-                                   precision=precision)
+            if high3:
+                rec = dot3(h, whh_hi_ref[d], whh_lo_ref[d])
+            else:
+                rec = jnp.dot(h, w_hh_ref[d],
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+            gates = x_in + rec
             i = _sigmoid(gates[:, :hidden])
             f = _sigmoid(gates[:, hidden:2 * hidden])
             g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
@@ -505,7 +589,11 @@ def _make_bidi_kernel(hidden: int, precision):
 def _pallas_bidi(x_proj, mask_col, w_hh2, h02, c02,
                  *, hidden: int, interpret: bool, precision):
     f, n = x_proj.shape[0], x_proj.shape[2]
+    high3 = precision == lax.Precision.HIGH
     kernel = _make_bidi_kernel(hidden, precision)
+    w_spec = pl.BlockSpec((2, hidden, 4 * hidden), lambda t: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    weight_args = list(split_bf16(w_hh2)) if high3 else [w_hh2]
     outs, hF, cF = pl.pallas_call(
         kernel,
         grid=(f,),
@@ -519,8 +607,7 @@ def _pallas_bidi(x_proj, mask_col, w_hh2, h02, c02,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, hidden, 4 * hidden), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+        ] + [w_spec] * len(weight_args) + [
             pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, n, hidden), lambda t: (0, 0, 0),
@@ -536,7 +623,7 @@ def _pallas_bidi(x_proj, mask_col, w_hh2, h02, c02,
                          memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(x_proj, mask_col, w_hh2, h02, c02)
+    )(x_proj, mask_col, *weight_args, h02, c02)
     return outs, hF, cF
 
 

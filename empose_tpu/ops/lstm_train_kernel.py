@@ -49,7 +49,9 @@ from jax import lax
 
 from empose_tpu.ops.lstm_kernel import (_VMEM_WEIGHT_BUDGET, _PALLAS_OK,
                                         _batch_axis, _sigmoid,
-                                        kernel_dot_precision)
+                                        kernel_dot_precision,
+                                        split_bf16 as _split_bf16,
+                                        dot3 as _dot3)
 
 if _PALLAS_OK:
     from jax.experimental import pallas as pl
@@ -63,26 +65,17 @@ def fits_vmem_layer(hidden: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel 3-pass bf16 emulation of ``lax.Precision.HIGH``. Mosaic raises on
-# HIGH, and the old clamp to HIGHEST ran the serial gate GEMMs as 6-pass f32
-# emulation — twice the MXU passes the caller asked to pay for. The splits of
-# the RESIDENT weights happen once (t == 0, into bf16 VMEM scratch); only the
-# small per-step activation split is paid every step. Same decomposition XLA
-# uses for bf16_3x: a@b ~= ah@bh + al@bh + ah@bl (al@bl dropped, one bf16
-# rounding of each operand).
-
-def _split_bf16(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
-def _dot3(a, w_hi, w_lo, dn=(((1,), (0,)), ((), ()))):
-    a_hi, a_lo = _split_bf16(a)
-    return (lax.dot_general(a_hi, w_hi, dn, preferred_element_type=jnp.float32)
-            + lax.dot_general(a_lo, w_hi, dn, preferred_element_type=jnp.float32)
-            + lax.dot_general(a_hi, w_lo, dn, preferred_element_type=jnp.float32))
-
+# In-kernel 3-pass bf16 emulation of ``lax.Precision.HIGH`` (shared
+# split_bf16/dot3 helpers live in lstm_kernel.py). Mosaic raises on HIGH,
+# and the old clamp to HIGHEST ran the serial gate GEMMs as 6-pass f32
+# emulation — twice the MXU passes the caller asked to pay for. Here the
+# splits of the RESIDENT weights happen once (t == 0, into bf16 VMEM
+# scratch next to the f32 block; one direction-layer at a time, so the
+# doubled residency still fits — fits_vmem_layer accounts for it). The
+# fwd-only kernels in lstm_kernel.py keep (2L-1) matrices resident at
+# once, so they instead take pre-split bf16 pairs REPLACING the f32
+# block at equal bytes. Only the small per-step activation split is paid
+# every step.
 
 # ---------------------------------------------------------------------------
 # Forward sweep: carried states in VMEM scratch, W_hh resident, per-step

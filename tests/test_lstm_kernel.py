@@ -287,3 +287,136 @@ def test_wavefront_kernel_hardware_parity():
                       (wf_out, ref_out), (wf_h, ref_h), (wf_c, ref_c)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+# ---------------------------------------------------------------------------
+# Precision.HIGH: the kernels run the explicit 3-pass bf16 decomposition
+# (split_bf16/dot3) instead of clamping to 6-pass HIGHEST. The reference is
+# a scan whose recurrent (and deeper-layer input) dots use the SAME
+# decomposition — NOT the f32 scan bitwise.
+
+from jax import lax as _lax
+from empose_tpu.ops.lstm_kernel import dot3, split_bf16
+
+
+def _cell_scan3(cell, x, mask, h0, c0, *, proj3=False):
+    """Masked LSTM cell scan with 3-pass-bf16 recurrent dot; ``proj3`` runs
+    the input projection through dot3 as well (deeper stack layers, where
+    the kernel projects in-kernel)."""
+    h_dim = cell["w_hh"].shape[0]
+    whi, wlo = split_bf16(cell["w_hh"])
+    b = cell["b_ih"] + cell["b_hh"]
+    if proj3:
+        f, n = x.shape[0], x.shape[1]
+        ihi, ilo = split_bf16(cell["w_ih"])
+        xp = dot3(x.reshape(f * n, -1), ihi, ilo).reshape(f, n, -1) + b
+    else:
+        xp = jnp.matmul(x, cell["w_ih"], precision=_lax.Precision.HIGH) + b
+
+    def step(carry, inp):
+        hp, cp = carry
+        xpt, m = inp
+        gates = xpt + dot3(hp, whi, wlo)
+        i = jax.nn.sigmoid(gates[:, :h_dim])
+        fo = jax.nn.sigmoid(gates[:, h_dim:2 * h_dim])
+        g = jnp.tanh(gates[:, 2 * h_dim:3 * h_dim])
+        o = jax.nn.sigmoid(gates[:, 3 * h_dim:])
+        cn = fo * cp + i * g
+        hn = o * jnp.tanh(cn)
+        m1 = m[:, None]
+        return ((jnp.where(m1 > 0, hn, hp), jnp.where(m1 > 0, cn, cp)),
+                hn * m1)
+
+    (hF, cF), outs = jax.lax.scan(step, (h0, c0), (xp, mask))
+    return outs, (hF, cF)
+
+
+def _stack_scan3(cells, x, mask, h0s, c0s):
+    xt = x
+    hs, cs = [], []
+    for l, cell in enumerate(cells):
+        xt, (hF, cF) = _cell_scan3(cell, xt, mask, h0s[l], c0s[l],
+                                   proj3=l > 0)
+        hs.append(hF)
+        cs.append(cF)
+    return xt, jnp.stack(hs), jnp.stack(cs)
+
+
+def _high_inputs(num_layers, seed=5):
+    rng = np.random.RandomState(seed)
+    f, n, i, h = 12, 8, 20, 128
+    params = L.lstm_init(jax.random.PRNGKey(seed), i, h, num_layers)
+    cells = [layer["fwd"] for layer in params["layers"]]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 12, 0, 5, 12, 1, 7])
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(num_layers, n, h).astype(np.float32) * 0.1)
+    return cells, x, mask, lengths, h0, c0
+
+
+_HIGH_TOL = dict(rtol=2e-3, atol=5e-4)
+
+
+@pytest.mark.parametrize("num_layers", [1, 2])
+def test_high_three_pass_stack(num_layers):
+    cells, x, mask, _, h0, c0 = _high_inputs(num_layers)
+    ref_out, ref_h, ref_c = _stack_scan3(cells, x, mask, h0, c0)
+    out, (hF, cF) = lstm_stack_pallas(cells, x, mask, h0, c0,
+                                      precision=_lax.Precision.HIGH,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), **_HIGH_TOL)
+
+
+def test_high_three_pass_wavefront():
+    cells, x, mask, _, h0, c0 = _high_inputs(2, seed=6)
+    ref_out, ref_h, ref_c = _stack_scan3(cells, x, mask, h0, c0)
+    out, (hF, cF) = lstm_stack_pallas_wavefront(cells, x, mask, h0, c0,
+                                                precision=_lax.Precision.HIGH,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(ref_h), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(ref_c), **_HIGH_TOL)
+
+
+def test_high_three_pass_bidi():
+    rng = np.random.RandomState(9)
+    f, n, i, h = 12, 6, 20, 128
+    params = L.lstm_init(jax.random.PRNGKey(9), i, h, 1, bidirectional=True)
+    cf, cb = params["layers"][0]["fwd"], params["layers"][0]["bwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 0, 5, 1, 7])
+    mask = (jnp.arange(f)[:, None] < lengths[None, :]).astype(jnp.float32)
+    h0 = jnp.asarray(rng.randn(2, n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(2, n, h).astype(np.float32) * 0.1)
+    x_rev = L._reverse_by_length(x, lengths)
+
+    out, (hF, cF) = lstm_bidi_layer_pallas(cf, cb, x, x_rev, mask, h0, c0,
+                                           precision=_lax.Precision.HIGH,
+                                           interpret=True)
+    rf_out, (rf_h, rf_c) = _cell_scan3(cf, x, mask, h0[0], c0[0])
+    rb_out, (rb_h, rb_c) = _cell_scan3(cb, x_rev, mask, h0[1], c0[1])
+    np.testing.assert_allclose(np.asarray(out[:, 0]), np.asarray(rf_out), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(out[:, 1]), np.asarray(rb_out), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(hF), np.asarray(jnp.stack([rf_h, rb_h])), **_HIGH_TOL)
+    np.testing.assert_allclose(np.asarray(cF), np.asarray(jnp.stack([rf_c, rb_c])), **_HIGH_TOL)
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="hardware parity check needs the real TPU "
+                           "(run with EMPOSE_TEST_PLATFORM=axon)")
+def test_high_kernels_hardware_parity():
+    """COMPILED (non-interpret) HIGH-mode kernels on the real chip == the
+    3-pass scan reference. Covers the Mosaic lowering of the bf16 hi/lo
+    weight blocks + in-kernel dot3 that interpret mode cannot."""
+    cells, x, mask, lengths, h0, c0 = _high_inputs(2, seed=12)
+    ref_out, ref_h, ref_c = _stack_scan3(cells, x, mask, h0, c0)
+    out, (hF, cF) = lstm_stack_pallas(cells, x, mask, h0, c0,
+                                      precision=_lax.Precision.HIGH,
+                                      interpret=False)
+    wf_out, (wf_h, wf_c) = lstm_stack_pallas_wavefront(
+        cells, x, mask, h0, c0, precision=_lax.Precision.HIGH, interpret=False)
+    for got, want in ((out, ref_out), (hF, ref_h), (cF, ref_c),
+                      (wf_out, ref_out), (wf_h, ref_h), (wf_c, ref_c)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), **_HIGH_TOL)

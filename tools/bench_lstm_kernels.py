@@ -31,6 +31,11 @@ def main():
     p.add_argument("--input", type=int, default=144)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--precision", default="highest",
+                   choices=("highest", "high", "default"),
+                   help="NN matmul precision: the scan obeys it via "
+                        "set_nn_precision; the kernels take it directly "
+                        "(HIGH runs their 3-pass bf16 path).")
     args = p.parse_args()
 
     import jax
@@ -43,6 +48,10 @@ def main():
     from empose_tpu.nn import layers as L
     from empose_tpu.ops.lstm_kernel import (lstm_stack_pallas,
                                             lstm_stack_pallas_wavefront)
+    from empose_tpu.utils.precision import resolve as resolve_precision
+
+    L.set_nn_precision(args.precision)
+    prec = resolve_precision(args.precision)
 
     f, h, nl = args.window, args.hidden, args.layers
     params = L.lstm_init(jax.random.PRNGKey(0), args.input, h, nl)
@@ -58,11 +67,13 @@ def main():
         return xt, jnp.stack(hs), jnp.stack(cs)
 
     def kernel_fwd(x, mask, h0, c0):
-        outs, (hF, cF) = lstm_stack_pallas(cells, x, mask, h0, c0)
+        outs, (hF, cF) = lstm_stack_pallas(cells, x, mask, h0, c0,
+                                           precision=prec)
         return outs, hF, cF
 
     def wavefront_fwd(x, mask, h0, c0):
-        outs, (hF, cF) = lstm_stack_pallas_wavefront(cells, x, mask, h0, c0)
+        outs, (hF, cF) = lstm_stack_pallas_wavefront(cells, x, mask, h0, c0,
+                                                     precision=prec)
         return outs, hF, cF
 
     impls = {"scan": scan_fwd, "kernel": kernel_fwd, "wavefront": wavefront_fwd}
