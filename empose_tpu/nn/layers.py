@@ -634,7 +634,7 @@ def _lstm_train_kernel_wanted(n: int, hidden: int) -> bool:
     if n < LSTM_TRAIN_KERNEL_MIN_BATCH:
         return False
     from empose_tpu.ops.lstm_train_kernel import fits_vmem_layer
-    if not fits_vmem_layer(hidden):
+    if not fits_vmem_layer(hidden, _HI):
         return False
     if LSTM_TRAIN_KERNEL == "interpret":
         return True

@@ -36,7 +36,11 @@ forward kernel and read once by the backward — the same residuals
 ``lax.scan``'s autodiff saves, minus the re-streamed weights.
 
 VMEM budget per kernel: one (H, 4H) f32 weight block + streamed step
-blocks; callers gate on :func:`fits_vmem_layer` (H <= ~900).
+blocks; under ``Precision.HIGH`` the kernels additionally keep the bf16
+hi/lo splits of W_hh in VMEM scratch (8 bytes/element total instead of 4).
+Callers gate on :func:`fits_vmem_layer`, which is precision-aware:
+H <= ~900 at HIGHEST/DEFAULT (f32 block only), H <= ~640 at HIGH (f32 +
+both bf16 scratch splits resident).
 """
 
 from __future__ import annotations
@@ -58,10 +62,16 @@ if _PALLAS_OK:
     from jax.experimental.pallas import tpu as pltpu
 
 
-def fits_vmem_layer(hidden: int) -> bool:
-    """One direction-layer's recurrent weights resident at once (f32 +
-    the HIGH mode's bf16 hi/lo splits: 4H^2 * (4 + 2 + 2) bytes)."""
-    return hidden * 4 * hidden * 8 <= _VMEM_WEIGHT_BUDGET
+def fits_vmem_layer(hidden: int, precision=None) -> bool:
+    """One direction-layer's recurrent weights resident at once.
+
+    Precision-aware: only ``Precision.HIGH`` allocates the bf16 hi/lo
+    scratch splits next to the f32 block (4H^2 * (4 + 2 + 2) bytes);
+    HIGHEST/DEFAULT keep just the f32 block (4H^2 * 4 bytes), so mid-size
+    hidden sizes (~640 < H <= ~900) stay on the kernel there. ``None``
+    (precision unknown at the call site) charges the conservative 8."""
+    bytes_per_elt = 8 if precision in (None, lax.Precision.HIGH) else 4
+    return hidden * 4 * hidden * bytes_per_elt <= _VMEM_WEIGHT_BUDGET
 
 
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from empose_tpu.nn import layers as L
 from empose_tpu.ops.lstm_train_kernel import (fits_vmem_layer,
@@ -219,3 +220,12 @@ def test_high_precision_three_pass_emulation():
 def test_fits_vmem_layer_gate():
     assert fits_vmem_layer(512)       # released stacks: 8 MB resident (f32 + bf16 splits)
     assert not fits_vmem_layer(2048)  # >64 MB: must fall back to the scan
+    # Precision-aware gate: only HIGH allocates the bf16 hi/lo scratch
+    # (8 bytes/elt); HIGHEST/DEFAULT keep just the f32 block (4 bytes/elt),
+    # so a mid-size hidden (768: f32 block ~9 MB, doubled ~18 MB) stays on
+    # the kernel at non-HIGH precisions and falls back only at HIGH.
+    assert fits_vmem_layer(768, lax.Precision.HIGHEST)
+    assert fits_vmem_layer(768, lax.Precision.DEFAULT)
+    assert not fits_vmem_layer(768, lax.Precision.HIGH)
+    assert not fits_vmem_layer(768)   # unknown precision: conservative 8
+    assert not fits_vmem_layer(2048, lax.Precision.HIGHEST)
