@@ -67,6 +67,51 @@ def _efficiency_rows(flops_per_frame, fps):
     }
 
 
+def plausible_floor_s(flops_block):
+    """The fastest a block of ``flops_block`` FLOPs can physically finish on
+    this chip: the bf16 MXU roofline. Any timing below it is a measurement
+    failure, not a fast run."""
+    if not flops_block:
+        return None
+    return flops_block / (PEAK_BF16_TFLOPS * 1e12)
+
+
+def timed_blocks(block_fn, repeats, min_plausible_s=None, max_extra=4):
+    """Run ``repeats`` timing blocks, discarding physically impossible ones.
+
+    ``block_fn()`` runs one block and returns its elapsed seconds. A block
+    faster than ``min_plausible_s`` (the bf16-roofline bound for the block's
+    known FLOP count, :func:`plausible_floor_s`) can only be a measurement
+    pathology — e.g. the tunneled runtime's deferred-dispatch mode returning
+    from ``block_until_ready`` without waiting, which is how BENCH_r04
+    archived a 1110%-of-roofline throughput row. Suspect blocks are dropped
+    and re-measured, up to ``max_extra`` replacement blocks; by construction
+    no surviving block can imply a rate above the roofline.
+
+    :return: (times, n_suspect) — ``times`` non-empty, sorted not required.
+    :raises RuntimeError: if every block (incl. replacements) was impossible —
+      a systematic runtime failure that must not be archived as a number.
+    """
+    times, n_suspect, runs = [], 0, 0
+    while len(times) < repeats and runs < repeats + max_extra:
+        runs += 1
+        dt = block_fn()
+        if min_plausible_s is not None and dt < min_plausible_s:
+            n_suspect += 1
+            continue  # replacement blocks, up to max_extra beyond repeats
+        times.append(dt)
+    if not times:
+        raise RuntimeError(
+            f"all {repeats + max_extra} timing blocks finished below the "
+            f"roofline floor of {min_plausible_s * 1e3:.3f} ms — the runtime "
+            "is not actually synchronizing; refusing to report a number")
+    return times, n_suspect
+
+
+def _median(xs):
+    return float(np.median(np.asarray(xs)))
+
+
 def bench_config():
     """The RELEASED LGD-RNN-6 architecture (reference README.md:210-228):
     hidden 512x2, N=2 refinement iterations, init-RNN 512x2, 5.72M params."""
@@ -104,9 +149,15 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
     sits behind a network tunnel whose transient stalls inject multi-ms
     hiccups into individual dispatches, so a single block is a coin flip
     (measured 279k vs 429k f/s across two 10-iter runs); the fastest block
-    is the reproducible hardware number.
+    is the reproducible hardware number. Each block is checked against the
+    chip's roofline (:func:`timed_blocks`): an impossibly fast block is a
+    runtime pathology, gets discarded and re-measured, and is counted in
+    ``suspect_blocks`` — so one corrupted block can never become the
+    archived number (BENCH_r04 regression). The median across blocks is
+    reported alongside the min.
 
-    :return: {precision: frames/s}.
+    :return: ({precision: {"fps", "fps_median", "suspect_blocks"}},
+      flops_per_frame)
     """
     import jax
     from empose_tpu.utils.cache import enable_compilation_cache, force_synchronous_dispatch
@@ -156,14 +207,23 @@ def run_tpu(batch=BATCH, window=WINDOW, iters=20, warmup=3, repeats=5,
                 outs = fwd(params, state, w, outs[-1])
             jax.block_until_ready(outs[0])
 
-            best = float("inf")
-            for _ in range(repeats):
+            def block():
+                nonlocal outs
                 start = time.perf_counter()
                 for _ in range(iters):
                     outs = fwd(params, state, w, outs[-1])
                 jax.block_until_ready(outs[0])
-                best = min(best, time.perf_counter() - start)
-            results[prec] = batch * window * iters / best
+                return time.perf_counter() - start
+
+            floor = plausible_floor_s(
+                flops_per_frame * batch * window * iters if flops_per_frame else None)
+            times, n_suspect = timed_blocks(block, repeats, floor)
+            frames = batch * window * iters
+            results[prec] = {
+                "fps": frames / min(times),
+                "fps_median": frames / _median(times),
+                "suspect_blocks": n_suspect,
+            }
     finally:
         L._HI, FK._HI = entry_nn, entry_fk
     return results, flops_per_frame
@@ -230,23 +290,34 @@ def run_train_step_tpu(iters=20, warmup=3, bs=12, window=32, precision="highest"
         # chain and dividing measures the per-step compute time (per-step
         # blocking would bill the tunnel RTT of this environment to every step).
         # Best-of-``repeats`` blocks for the same tunnel-hiccup reason as
-        # ``run_tpu``.
-        best = float("inf")
+        # ``run_tpu``, with the same roofline plausibility guard: impossibly
+        # fast blocks are re-measured instead of winning the min.
         k = warmup
-        for _ in range(repeats):
+        extra = 4
+        keys.extend(jax.random.PRNGKey(1000 + i) for i in range(extra * iters))
+
+        def block():
+            nonlocal carry, k
             start = time.perf_counter()
             for _ in range(iters):
                 *carry, vals = step(*carry, batch, keys[k])
                 k += 1
             jax.block_until_ready(vals["total_loss"])
-            best = min(best, time.perf_counter() - start)
-        ms = float(best / iters * 1000.0)
-        return (ms, flops_per_frame, mem) if want_memory else (ms, flops_per_frame)
+            return time.perf_counter() - start
+
+        floor = plausible_floor_s(f_call * iters if f_call else None)
+        times, n_suspect = timed_blocks(block, repeats, floor, max_extra=extra)
+        ms = float(min(times) / iters * 1000.0)
+        extras = {"ms_median": float(_median(times) / iters * 1000.0),
+                  "suspect_blocks": n_suspect}
+        return ((ms, flops_per_frame, mem, extras) if want_memory
+                else (ms, flops_per_frame, extras))
     finally:
         L._HI, FK._HI = entry_nn, entry_fk
 
 
-def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3):
+def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3,
+                      first_only=False):
     """Steady-state streaming EVAL pass through the real parity-CLI loop.
 
     Drives :func:`evaluate_real_sequences` (the exact scripts/evaluate_real.py
@@ -297,13 +368,16 @@ def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3):
     t0 = time.perf_counter()
     one_pass()
     first = time.perf_counter() - t0
-    best = float("inf")
+    if first_only:
+        return first, None, None, None
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         _, overall = one_pass()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
     assert np.isfinite(overall["MPJPE [mm]"])
-    return first, best, n_seqs * frames / best
+    best = min(times)
+    return first, best, n_seqs * frames / best, _median(times)
 
 
 def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
@@ -342,14 +416,50 @@ def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
     return frames / elapsed
 
 
+def _warm_cache_first_call_s():
+    """First eval-pass wall time of a FRESH process with a warm XLA cache.
+
+    A cold process pays the full compile (~54-65 s, the eval_pass_first_s
+    row); the persistent compilation cache (utils/cache.py) should make a
+    SECOND process's first call cheap. Measured by actually spawning one —
+    the axon tunnel multiplexes, so the parent holding the device is fine.
+    """
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--eval-first-call"],
+            capture_output=True, text=True, timeout=900)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return float(json.loads(line)["eval_pass_first_s"])
+            except (ValueError, KeyError):
+                continue
+    except Exception:
+        pass
+    return None
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--measure-baseline", action="store_true",
                    help="Measure the torch-CPU reference fps and cache it.")
+    p.add_argument("--eval-first-call", action="store_true",
+                   help="Run ONLY the first eval pass and print its wall time "
+                        "(used by the parent bench to measure the warm-cache "
+                        "first call of a fresh process).")
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--window", type=int, default=WINDOW)
     p.add_argument("--iters", type=int, default=10)
     args = p.parse_args()
+
+    if args.eval_first_call:
+        from empose_tpu.utils.cache import (enable_compilation_cache,
+                                            force_synchronous_dispatch)
+        enable_compilation_cache()
+        force_synchronous_dispatch()
+        first, _, _, _ = run_eval_pass_tpu(first_only=True)
+        print(json.dumps({"eval_pass_first_s": round(first, 2)}))
+        return
 
     if args.measure_baseline:
         fps = run_torch_cpu()
@@ -368,8 +478,10 @@ def main():
             baseline = json.load(f)
 
     default_regime = args.batch == BATCH and args.window == WINDOW
+    suspect_total = 0
     lat, flops_frame = run_tpu(args.batch, args.window, args.iters)
-    fps = lat["highest"]
+    fps = lat["highest"]["fps"]
+    suspect_total += lat["highest"]["suspect_blocks"]
     result = {
         "metric": "lgd_rnn6_inference_frames_per_sec",
         "value": round(fps, 2),
@@ -379,6 +491,7 @@ def main():
         # ratio apples-to-oranges, so report it only when like-for-like.
         "vs_baseline": (round(fps / baseline["torch_cpu_fps"], 2)
                         if baseline and default_regime else None),
+        "value_median": round(lat["highest"]["fps_median"], 2),
         "batch": args.batch,
         "window": args.window,
         "baseline": baseline,
@@ -399,54 +512,74 @@ def main():
         # the bf16 delta is inside run-to-run variance.
         thr, thr_flops = run_tpu(64, args.window, args.iters,
                                  precisions=("highest", "default"))
-        result["throughput_batch64_fps"] = round(thr["highest"], 2)
-        result["bf16_throughput_batch64_fps"] = round(thr["default"], 2)
+        result["throughput_batch64_fps"] = round(thr["highest"]["fps"], 2)
+        result["throughput_batch64_fps_median"] = round(thr["highest"]["fps_median"], 2)
+        result["bf16_throughput_batch64_fps"] = round(thr["default"]["fps"], 2)
+        result["bf16_throughput_batch64_fps_median"] = round(thr["default"]["fps_median"], 2)
+        suspect_total += thr["highest"]["suspect_blocks"] + thr["default"]["suspect_blocks"]
         thr_flops = thr_flops or flops_frame
         if thr_flops:
             result.update({"throughput_" + k: v for k, v in
-                           _efficiency_rows(thr_flops, thr["highest"]).items()})
+                           _efficiency_rows(thr_flops, thr["highest"]["fps"]).items()})
             result.update({"bf16_throughput_" + k: v for k, v in
-                           _efficiency_rows(thr_flops, thr["default"]).items()})
-        tr_ms, tr_flops = run_train_step_tpu()
+                           _efficiency_rows(thr_flops, thr["default"]["fps"]).items()})
+        tr_ms, tr_flops, tr_x = run_train_step_tpu()
         result["train_step_ms_bs12_w32"] = round(tr_ms, 2)
+        suspect_total += tr_x["suspect_blocks"]
         # Large-batch training throughput (frames/s trained), where the
         # differentiable weight-resident LSTM kernel pair carries the
         # recurrence (ops/lstm_train_kernel.py).
         tt_bs, tt_w = 64, 64
-        tt_ms, tt_flops = run_train_step_tpu(bs=tt_bs, window=tt_w)
+        tt_ms, tt_flops, tt_x = run_train_step_tpu(bs=tt_bs, window=tt_w)
         tt_fps = tt_bs * tt_w / (tt_ms / 1e3)
         result["train_throughput_bs64_w64_fps"] = round(tt_fps, 2)
+        suspect_total += tt_x["suspect_blocks"]
         if tt_flops:
             result["train_flops_per_frame"] = round(tt_flops)
             result.update({"train_" + k: v for k, v in
                            _efficiency_rows(tt_flops, tt_fps).items()})
         # README-headline training regime (bs64 x w256, README "Training
-        # throughput" table): strict torch-parity precision AND the validated
-        # --matmul_precision high fast mode, so the driver's round-over-round
-        # JSON tracks the numbers the backward-pass work moves.
+        # throughput" table): strict torch-parity precision, the validated
+        # --matmul_precision high fast mode, AND the convergence-gated bf16
+        # serving/training mode (--matmul_precision default, gate run 920002)
+        # so the driver's round-over-round JSON tracks every mode the
+        # backward-pass work moves.
         hl_bs, hl_w = 64, 256
-        hl_ms, hl_flops = run_train_step_tpu(iters=10, bs=hl_bs, window=hl_w)
+        hl_ms, hl_flops, hl_x = run_train_step_tpu(iters=10, bs=hl_bs, window=hl_w)
         hl_fps = hl_bs * hl_w / (hl_ms / 1e3)
         result["train_step_ms_bs64_w256"] = round(hl_ms, 2)
+        result["train_step_ms_bs64_w256_median"] = round(hl_x["ms_median"], 2)
         result["train_throughput_bs64_w256_fps"] = round(hl_fps, 2)
+        suspect_total += hl_x["suspect_blocks"]
         if hl_flops:
             result.update({"train_bs64_w256_" + k: v for k, v in
                            _efficiency_rows(hl_flops, hl_fps).items()})
-        hh_ms, _ = run_train_step_tpu(iters=10, bs=hl_bs, window=hl_w, precision="high")
-        hh_fps = hl_bs * hl_w / (hh_ms / 1e3)
-        result["train_step_ms_bs64_w256_high"] = round(hh_ms, 2)
-        result["train_throughput_bs64_w256_high_fps"] = round(hh_fps, 2)
-        if hl_flops:
-            result.update({"train_bs64_w256_high_" + k: v for k, v in
-                           _efficiency_rows(hl_flops, hh_fps).items()})
-        # Steady-state eval pass through the parity CLI's loop (the last
-        # host-bound loop, made device-resident in r04).
-        ev_first, ev_steady, ev_fps = run_eval_pass_tpu()
+        for prec in ("high", "default"):
+            pp_ms, _, pp_x = run_train_step_tpu(iters=10, bs=hl_bs, window=hl_w,
+                                                precision=prec)
+            pp_fps = hl_bs * hl_w / (pp_ms / 1e3)
+            result[f"train_step_ms_bs64_w256_{prec}"] = round(pp_ms, 2)
+            result[f"train_throughput_bs64_w256_{prec}_fps"] = round(pp_fps, 2)
+            suspect_total += pp_x["suspect_blocks"]
+            if hl_flops:
+                result.update({f"train_bs64_w256_{prec}_" + k: v for k, v in
+                               _efficiency_rows(hl_flops, pp_fps).items()})
+        # Steady-state eval pass through the parity CLI's loop (batched
+        # whole-pass program since r05; the serial per-sequence loop is the
+        # r04 baseline row).
+        ev_first, ev_steady, ev_fps, ev_median = run_eval_pass_tpu()
         result["eval_pass_first_s"] = round(ev_first, 2)
         result["eval_pass_steady_s"] = round(ev_steady, 3)
+        result["eval_pass_steady_median_s"] = round(ev_median, 3)
         result["eval_pass_fps"] = round(ev_fps, 1)
         result["eval_pass_regime"] = ("4 seqs x 1024 frames, window 256, "
-                                      "device-resident metrics (1 sync/seq)")
+                                      "device-resident metrics")
+        # First call of a FRESH process once the persistent XLA cache is warm
+        # (the number a user pays on their second-ever CLI invocation).
+        warm = _warm_cache_first_call_s()
+        if warm is not None:
+            result["eval_pass_first_warm_cache_s"] = round(warm, 2)
+        result["suspect_blocks"] = suspect_total
     print(json.dumps(result))
 
 

@@ -38,9 +38,9 @@ def main():
     for spec in args.regimes.split(","):
         bs, w = (int(x) for x in spec.lower().split("x"))
         for remat in (False, True):
-            ms, _, mem = run_train_step_tpu(iters=args.iters, bs=bs, window=w,
-                                            precision=args.precision,
-                                            remat=remat, want_memory=True)
+            ms, _, mem, _ = run_train_step_tpu(iters=args.iters, bs=bs, window=w,
+                                               precision=args.precision,
+                                               remat=remat, want_memory=True)
             rows.append({"bs": bs, "window": w, "remat": remat,
                          "precision": args.precision,
                          "step_ms": round(ms, 2),
