@@ -17,6 +17,7 @@ from typing import Dict, Iterator, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from empose_tpu import constants as C
 from empose_tpu.config import Configuration
@@ -103,6 +104,7 @@ class EvalSession:
         self.params = params
         self.state = state
         self.sensor = sensor
+        self.noise_fn = noise_fn
         self._chunk_counter = 0
 
         # Trace-time side channel: loss-val names + packed-output split points
@@ -171,6 +173,92 @@ class EvalSession:
             return jnp.concatenate(parts, axis=-1), stats, frozen, new_carry
 
         self._run_chunk_stats = jax.jit(run_chunk_stats)
+
+        def run_pass(params, state, batch, window):
+            """ONE XLA program for a whole real-data eval pass: ALL sequences
+            batched on the leading axis, root normalization, the windowed
+            forward as a ``lax.scan`` (LSTM carries threaded through the scan
+            carry), and per-sequence metric sufficient statistics — so a pass
+            costs ONE dispatch and ONE host sync total (the r04 serial loop
+            paid a host round-trip per chunk upload + one sync per sequence).
+            Fixed shapes per (n_seqs, frames, window) corpus signature; jit
+            retraces per distinct signature.
+
+            Two phases: (1) the scan streams ONLY the model forward (the part
+            that needs sequential carries) and collects the predicted full
+            pose per chunk; (2) the whole pass's FK / Procrustes / MPJAE
+            statistics run as ONE batched update over all N*F rows — the
+            metric math costs ~3x the forward per frame, and batching it
+            across chunks measurably beats per-chunk updates (FK/angles scale
+            ~2.2x for 4x rows on the chip). Identical sums either way (frame
+            sums decompose over chunks).
+
+            Chunk 0 runs OUTSIDE the scan with ``carry=None`` so models that
+            derive their initial recurrent state from frame 0 (learn_init_
+            state; reference layers.py:121-131) keep their semantics, and its
+            returned carry fixes the scan-carry structure for chunks 1..C-1.
+            """
+            from empose_tpu.data.transforms import normalize_root
+            from empose_tpu.eval.metrics import metric_stats_init, metric_stats_update
+
+            batch = normalize_root(batch)
+            n, f = batch["poses"].shape[0], batch["poses"].shape[1]
+            c = f // window
+            seq_lengths = batch["seq_lengths"]
+            # Only the keys the FORWARD consumes are chunked — (N, C*W, ...)
+            # -> (C, N, W, ...) is a device-side reshape, no per-chunk host
+            # slicing or re-upload. GT poses stay whole for phase 2.
+            in_keys = ("marker_pos", "marker_ori", "marker_nor", "marker_masks")
+            chunks = {k: jnp.moveaxis(
+                batch[k].reshape((n, c, window) + batch[k].shape[2:]), 1, 0)
+                for k in in_keys if batch.get(k) is not None}
+            static_keys = {k: batch[k] for k in ("shapes", "offset_t", "offset_r")
+                           if k in batch}
+
+            def chunk_fwd(carry, chunk_t, idx):
+                chunk = dict(static_keys)
+                chunk.update(chunk_t)
+                chunk["seq_lengths"] = jnp.clip(
+                    seq_lengths - idx * window, 0, window).astype(jnp.int32)
+                out, _, new_carry = model.forward(params, state, chunk, carry,
+                                                  train=False)
+                pose_full = jnp.concatenate(
+                    [out["root_ori_hat"], out["pose_hat"]], axis=-1)  # (N, W, 66)
+                shape_hat = out.get("shape_hat")
+                return new_carry, pose_full, shape_hat
+
+            first = {k: v[0] for k, v in chunks.items()}
+            carry, pose0, shape_hat0 = chunk_fwd(None, first, 0)
+            has_shape = shape_hat0 is not None
+            # Chunk-0 shape freeze (reference evaluate_real.py:63-68).
+            frozen = shape_hat0[:, 0] if has_shape else jnp.zeros_like(batch["shapes"])
+            if c > 1:
+                rest = {k: v[1:] for k, v in chunks.items()}
+
+                def body(carry, xs):
+                    chunk_t, idx = xs
+                    new_carry, pose_full, _ = chunk_fwd(carry, chunk_t, idx)
+                    return new_carry, pose_full
+
+                _, pose_rest = lax.scan(body, carry, (rest, jnp.arange(1, c)))
+                pose_all = jnp.concatenate([pose0[None], pose_rest])  # (C, N, W, 66)
+            else:
+                pose_all = pose0[None]
+            pose_hat = jnp.moveaxis(pose_all, 1, 0).reshape(n, f, -1)  # (N, F, 66)
+
+            stats = metric_stats_update(
+                sensor.full, metric_stats_init(n),
+                pose=batch["poses"][:, :, 3:], shape=batch["shapes"],
+                pose_hat=pose_hat[:, :, 3:],
+                shape_hat=(frozen if has_shape else None),
+                seq_lengths=seq_lengths,
+                pose_root=batch["poses"][:, :, :3],
+                pose_root_hat=pose_hat[:, :, :3],
+                frame_mask=batch.get("marker_masks"),
+                per_sample=True)
+            return stats, frozen
+
+        self._run_pass = jax.jit(run_pass, static_argnums=(3,))
 
     def forward_chunk(self, chunk: Dict, carry, host: bool = True):
         """:return: (outputs dict, loss-val dict, carry).
@@ -319,16 +407,33 @@ def _normalized_host_batch(batch: Dict) -> Dict:
     return host_batch
 
 
+def _select_sample(batch: Dict, j: int) -> Dict:
+    """Single-sequence view (batch axis kept, length 1) of a collated batch."""
+    out = {}
+    for k, v in batch.items():
+        if k == "ids":
+            out[k] = [batch["ids"][j]]
+        elif v is not None and hasattr(v, "shape"):
+            out[k] = np.asarray(v)[j:j + 1]
+        else:
+            out[k] = v
+    return out
+
+
 def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[int],
                             pad_multiple: int = 256, visualize_index: int = -1,
                             visualize_dir: Optional[str] = None,
-                            host_metrics: bool = False):
+                            host_metrics: bool = False, serial: bool = False):
     """Per-sequence + overall metric rows (reference evaluate_real.py:41-101).
 
-    Default path: metric sufficient statistics accumulate ON DEVICE inside
-    the jitted chunk program and flush with ONE ``device_get`` per sequence.
-    ``host_metrics=True`` runs the original host ``MetricsEngine`` loop —
-    kept as the parity oracle (pinned against the stats path in tests).
+    Default path: ALL sequences batched into ONE jitted whole-pass program
+    (windowed ``lax.scan``, per-sequence device-resident metric statistics,
+    one dispatch + one host sync per pass). ``serial=True`` runs the r04
+    per-sequence chunk loop (one sync per sequence) — also auto-selected
+    when a noise_fn is installed (per-chunk key schedule) or visualization
+    is requested. ``host_metrics=True`` runs the original host
+    ``MetricsEngine`` loop — the parity oracle (all three pinned against
+    each other in tests).
 
     :param visualize_index: if >= 0, dump skeleton/mesh artifacts for the
       sequence with this index via :func:`export_visualization`.
@@ -337,6 +442,69 @@ def evaluate_real_sequences(session: EvalSession, loader, window_size: Optional[
     if host_metrics:
         return _evaluate_real_sequences_host(session, loader, window_size, pad_multiple,
                                              visualize_index, visualize_dir)
+    if serial or visualize_index >= 0 or session.noise_fn is not None:
+        return _evaluate_real_sequences_serial(session, loader, window_size, pad_multiple,
+                                               visualize_index, visualize_dir)
+    return _evaluate_real_sequences_batched(session, loader, window_size, pad_multiple)
+
+
+def _evaluate_real_sequences_batched(session: EvalSession, loader,
+                                     window_size: Optional[int],
+                                     pad_multiple: int = 256):
+    """Whole-pass batched eval: one dispatch, one host sync (r05).
+
+    All sequences are padded to a common frame count (rounded up to the
+    window), stacked on the batch axis, uploaded ONCE, and evaluated by
+    ``EvalSession._run_pass`` — the jitted program that normalizes, chunks
+    on device, scans the windowed forward with threaded carries, and
+    accumulates per-sequence metric sufficient statistics. Rows and the
+    overall average flush from a single readback. Per-sequence results
+    equal the serial path's (pinned in test_train_eval); the overall row
+    is the identical f64 merge of per-sequence stats.
+    """
+    from empose_tpu.eval.metrics import (metric_stats_init, metric_stats_reduce,
+                                         metric_stats_select, metrics_from_stats)
+    seqs = []
+    for batch in loader:
+        for j in range(len(batch["ids"])):
+            seqs.append(_select_sample(batch, j))
+    if not seqs:
+        overall = metrics_from_stats(metric_stats_init())
+        return [["Overall average"] + [overall[k] for k in overall]], overall
+    for b in seqs:  # reference evaluate_real.py:48 progress contract
+        print(f"Evaluate {b['ids'][0]} ({int(b['seq_lengths'][0])} frames)")
+
+    f_max = max(b["poses"].shape[1] for b in seqs)
+    step = window_size if window_size is not None else pad_multiple
+    f_pad = _round_up(f_max, step)
+    window = window_size if window_size is not None else f_pad
+    padded = [pad_time(b, f_pad) for b in seqs]
+    stacked = {k: np.concatenate([np.asarray(p[k]) for p in padded])
+               for k in padded[0] if k != "ids"}
+    device_batch = jax.device_put(stacked)
+    stats, _frozen = session._run_pass(session.params, session.state,
+                                       device_batch, window)
+    host_stats = jax.device_get(stats)  # the ONE sync of the whole pass
+
+    rows = []
+    for i, b in enumerate(seqs):
+        m = metrics_from_stats(metric_stats_select(host_stats, i))
+        rows.append([b["ids"][0]] + [m[k] for k in m])
+    overall = metrics_from_stats(metric_stats_reduce(host_stats))
+    rows.append(["Overall average"] + [overall[k] for k in overall])
+    return rows, overall
+
+
+def _evaluate_real_sequences_serial(session: EvalSession, loader,
+                                    window_size: Optional[int],
+                                    pad_multiple: int = 256, visualize_index: int = -1,
+                                    visualize_dir: Optional[str] = None):
+    """Serial per-sequence stats loop (r04): one host sync per sequence.
+
+    Kept for noise-fn runs (per-chunk key schedule), visualization (needs
+    the packed pose outputs), and as a pinned intermediate between the
+    batched pass and the host oracle.
+    """
     from empose_tpu.eval.metrics import (metric_stats_init, metric_stats_merge,
                                          metrics_from_stats)
     rows = []

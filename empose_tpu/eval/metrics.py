@@ -147,9 +147,16 @@ N_EUCL_JOINTS = C.N_JOINTS + 1   # root + 21 body joints (reference metrics.py:8
 N_ANGLE_JOINTS = C.N_JOINTS      # body joints, root dropped (reference metrics.py:92)
 
 
-def metric_stats_init() -> Dict[str, jnp.ndarray]:
-    """Zeroed sufficient-statistics pytree (jit-carryable)."""
-    z = lambda *s: jnp.zeros(s, jnp.float32)  # noqa: E731
+def metric_stats_init(n_seqs: int = None) -> Dict[str, jnp.ndarray]:
+    """Zeroed sufficient-statistics pytree (jit-carryable).
+
+    :param n_seqs: None for pass-aggregate stats (scalar n, (J,) sums —
+      the r04 serial path); an int for PER-SEQUENCE stats with a leading
+      sequence axis ((n_seqs,) n, (n_seqs, J) sums — the batched eval pass,
+      which flushes per-sequence rows from one readback).
+    """
+    lead = () if n_seqs is None else (n_seqs,)
+    z = lambda *s: jnp.zeros(lead + s, jnp.float32)  # noqa: E731
     return {
         "n": z(),
         "eucl_sum": z(N_EUCL_JOINTS), "eucl_sq": z(N_EUCL_JOINTS),
@@ -174,7 +181,8 @@ def _valid_mask_device(n: int, f: int, seq_lengths, frame_mask) -> jnp.ndarray:
 
 def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_hat,
                         shape_hat=None, seq_lengths=None, pose_root=None,
-                        pose_root_hat=None, frame_mask=None) -> Dict[str, jnp.ndarray]:
+                        pose_root_hat=None, frame_mask=None,
+                        per_sample: bool = False) -> Dict[str, jnp.ndarray]:
     """Jittable masked accumulation over one (N, F) window.
 
     Same inputs/semantics as :meth:`MetricsEngine.compute` (reference
@@ -183,19 +191,32 @@ def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_h
     valid frames only.
 
     :param shape: (N, n_betas) per-sequence GT betas.
-    :param shape_hat: (N, n_betas) predicted betas (chunk-0-frozen upstream)
-      or None to reuse GT shape.
+    :param shape_hat: (N, n_betas) predicted betas (chunk-0-frozen upstream),
+      (N, F, n_betas) per-frame estimates (the trainer's valid pass), or
+      None to reuse GT shape.
+    :param per_sample: sum over FRAMES only, keeping the batch axis —
+      ``stats`` must come from ``metric_stats_init(n)``. This is the batched
+      eval pass's mode: per-sequence rows from one readback.
     """
     n, f = pose.shape[0], pose.shape[1]
     if shape_hat is None:
         shape_hat = shape
-    mask = _valid_mask_device(n, f, seq_lengths, frame_mask).reshape(n * f)
+    mask2 = _valid_mask_device(n, f, seq_lengths, frame_mask)
+    mask = mask2.reshape(n * f)
 
     rows = n * f
+
+    def flat_shape(s):
+        # (N, B) per-sequence or (N, F, B) per-frame (MetricsEngine.compute's
+        # pad_shape twin, metrics.py host engine above).
+        if s.ndim == 3:
+            return s.reshape(rows, -1)
+        return jnp.broadcast_to(s[:, None], (n, f, s.shape[-1])).reshape(rows, -1)
+
     p = pose.reshape(rows, -1)
     p_hat = pose_hat.reshape(rows, -1)
-    s = jnp.broadcast_to(shape[:, None], (n, f, shape.shape[-1])).reshape(rows, -1)
-    s_hat = jnp.broadcast_to(shape_hat[:, None], (n, f, shape_hat.shape[-1])).reshape(rows, -1)
+    s = flat_shape(shape)
+    s_hat = flat_shape(shape_hat)
     if pose_root is None:
         r = jnp.zeros((rows, 3), p.dtype)
         r_hat = r
@@ -215,11 +236,18 @@ def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_h
     eucl_pa = jnp.sqrt(jnp.sum(diff_pa * diff_pa, axis=-1))
     angles = _angle_dists(p, p_hat, C.SMPL_PARENTS)
 
-    def acc(x):
-        return jnp.sum(jnp.where(mask[:, None], x, 0.0), axis=0)
+    if per_sample:
+        def acc(x):
+            x = jnp.where(mask[:, None], x, 0.0)
+            return jnp.sum(x.reshape(n, f, x.shape[-1]), axis=1)
+        n_new = stats["n"] + jnp.sum(mask2.astype(jnp.float32), axis=1)
+    else:
+        def acc(x):
+            return jnp.sum(jnp.where(mask[:, None], x, 0.0), axis=0)
+        n_new = stats["n"] + jnp.sum(mask.astype(jnp.float32))
 
     return {
-        "n": stats["n"] + jnp.sum(mask.astype(jnp.float32)),
+        "n": n_new,
         "eucl_sum": stats["eucl_sum"] + acc(eucl),
         "eucl_sq": stats["eucl_sq"] + acc(eucl * eucl),
         "pa_sum": stats["pa_sum"] + acc(eucl_pa),
@@ -232,6 +260,17 @@ def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_h
 def metric_stats_merge(a: Dict, b: Dict) -> Dict:
     """Host-side f64 merge of two stats pytrees (overall = Σ per-sequence)."""
     return {k: np.asarray(a[k], np.float64) + np.asarray(b[k], np.float64) for k in a}
+
+
+def metric_stats_select(stats: Dict, i: int) -> Dict:
+    """Row ``i`` of a per-sequence stats pytree -> scalar-form stats."""
+    return {k: np.asarray(v)[i] for k, v in stats.items()}
+
+
+def metric_stats_reduce(stats: Dict) -> Dict:
+    """Sum a per-sequence stats pytree over its leading axis (f64) ->
+    scalar-form stats for the 'Overall average' row."""
+    return {k: np.asarray(v, np.float64).sum(axis=0) for k, v in stats.items()}
 
 
 def metrics_from_stats(stats: Dict) -> Dict[str, float]:
@@ -283,6 +322,7 @@ class MetricsEngine:
         self.eucl_dists: List[np.ndarray] = []
         self.eucl_dists_pa: List[np.ndarray] = []
         self.angle_diffs: List[np.ndarray] = []
+        self._stats_override = None
         self._fk = jax.jit(partial(smplh_fk, want_vertices=False))
         self._angles = jax.jit(partial(_angle_dists, parents=C.SMPL_PARENTS))
 
@@ -290,6 +330,17 @@ class MetricsEngine:
         self.eucl_dists = []
         self.eucl_dists_pa = []
         self.angle_diffs = []
+        self._stats_override = None
+
+    def set_stats(self, host_stats: Dict) -> None:
+        """Inject device-accumulated sufficient statistics.
+
+        Callers that run the stats path (one device sync per pass instead of
+        per-chunk ``np.asarray``s — Trainer.evaluate_valid/evaluate_test)
+        hand the aggregated pytree here so downstream ``get_metrics()``
+        consumers stay unchanged. Cleared by :meth:`reset`.
+        """
+        self._stats_override = host_stats
 
     @staticmethod
     def _valid_mask(n, f, seq_lengths, frame_mask) -> np.ndarray:
@@ -399,6 +450,12 @@ class MetricsEngine:
 
     def get_metrics(self, eucl_idxs_select: bool = True, angle_idxs_select: bool = True) -> Dict[str, float]:
         """Aggregate (reference metrics.py:289-330): means over joints-subset."""
+        if self._stats_override is not None:
+            # Injected sufficient statistics are always eval-subset sums;
+            # the full-joint variants have no stats form.
+            assert eucl_idxs_select and angle_idxs_select, \
+                "stats-backed metrics only support the eval joint subsets"
+            return metrics_from_stats(self._stats_override)
         if self.eucl_dists:
             eucl = np.concatenate(self.eucl_dists, axis=0)
             eucl_pa = np.concatenate(self.eucl_dists_pa, axis=0)

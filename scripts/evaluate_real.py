@@ -59,7 +59,8 @@ def main(args):
         session, loader, window_size,
         visualize_index=getattr(args, "visualize", -1),
         visualize_dir=os.path.join(model_dir, "visualize"),
-        host_metrics=getattr(args, "host_metrics", False))
+        host_metrics=getattr(args, "host_metrics", False),
+        serial=getattr(args, "serial", False))
     print_metric_table(rows, args.model_id)
     return overall
 
@@ -82,8 +83,12 @@ if __name__ == "__main__":
                         "(measured sub-0.04mm MPJPE shift, see README).")
     p.add_argument("--host_metrics", action="store_true",
                    help="Use the host MetricsEngine loop (the parity oracle) instead "
-                        "of the default device-resident stats accumulation (one host "
-                        "sync per sequence).")
+                        "of the default batched whole-pass program.")
+    p.add_argument("--serial", action="store_true",
+                   help="Use the serial per-sequence device-stats loop (one host sync "
+                        "per sequence) instead of the default batched whole-pass "
+                        "program (one sync per pass). Auto-selected for "
+                        "--suppression_length / --visualize runs.")
     p.add_argument("--visualize", type=int, default=-1,
                    help="Dump skeleton/mesh artifacts (npz + OBJ) for the sequence with "
                         "this index into <model_dir>/visualize/ (the reference's flag "

@@ -165,6 +165,49 @@ def test_metric_stats_match_engine(smplh_model):
                                    err_msg=k)
 
 
+@pytest.mark.slow
+def test_metric_stats_per_sample(smplh_model):
+    """Per-sample stats (batched eval pass) are exact decompositions of the
+    aggregate stats: reduce(per_sample) == aggregate update, and each
+    selected row equals the aggregate stats of that sample alone."""
+    import jax
+    rng = np.random.RandomState(11)
+    smpl_dev = jax.device_put(smplh_model)
+    n, f = 3, 4
+    pose = (rng.randn(n, f, 63) * 0.2).astype(np.float32)
+    shape = (rng.randn(n, 10) * 0.3).astype(np.float32)
+    pose_hat = pose + rng.randn(n, f, 63).astype(np.float32) * 0.02
+    root = (rng.randn(n, f, 3) * 0.2).astype(np.float32)
+    root_hat = root + rng.randn(n, f, 3).astype(np.float32) * 0.01
+    lengths = np.asarray([f, f - 1, f - 3], np.int32)
+
+    args = (jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(pose_hat), None,
+            jnp.asarray(lengths), jnp.asarray(root), jnp.asarray(root_hat))
+    per = ME.metric_stats_update(smpl_dev, ME.metric_stats_init(n), *args,
+                                 per_sample=True)
+    agg = ME.metric_stats_update(smpl_dev, ME.metric_stats_init(), *args)
+
+    per_h, agg_h = jax.device_get((per, agg))
+    red = ME.metric_stats_reduce(per_h)
+    for k in agg_h:
+        np.testing.assert_allclose(red[k], np.asarray(agg_h[k], np.float64),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+    # Row i == aggregate stats of sample i alone.
+    for i in range(n):
+        solo = ME.metric_stats_update(
+            smpl_dev, ME.metric_stats_init(),
+            jnp.asarray(pose[i:i + 1]), jnp.asarray(shape[i:i + 1]),
+            jnp.asarray(pose_hat[i:i + 1]), None,
+            jnp.asarray(lengths[i:i + 1]), jnp.asarray(root[i:i + 1]),
+            jnp.asarray(root_hat[i:i + 1]))
+        solo_h = jax.device_get(solo)
+        row = ME.metric_stats_select(per_h, i)
+        for k in solo_h:
+            np.testing.assert_allclose(row[k], solo_h[k], rtol=1e-4, atol=1e-5,
+                                       err_msg=f"sample {i} {k}")
+
+
 def test_metric_stats_empty_and_degenerate():
     """Zero valid frames -> all-zero metrics, no NaN from the masked rows."""
     import jax

@@ -57,6 +57,7 @@ def test_train_steps_and_checkpoint(assets_env, trained_dir, monkeypatch):
     assert os.path.isdir(os.path.join(model_dir, "checkpoint_model"))
 
 
+@pytest.mark.slow
 def test_steps_per_call_bit_identical(assets_env, monkeypatch, tmp_path):
     """Host-loop unrolling (steps_per_call > 1) runs K steps as one scanned
     device program; the PRNG chain and per-step jaxpr are identical, so on
@@ -290,6 +291,7 @@ def test_streaming_eval_windowed_vs_full(assets_env, trained_dir, monkeypatch):
     np.testing.assert_allclose(overall_win["MPJPE [mm]"], overall_full["MPJPE [mm]"], rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_device_metrics_match_host_oracle(assets_env, trained_dir, monkeypatch):
     """Device-resident stats eval (default) == host-MetricsEngine eval (oracle).
 
@@ -307,15 +309,83 @@ def test_device_metrics_match_host_oracle(assets_env, trained_dir, monkeypatch):
     loader = Loader(ds, 1, collate_real, shuffle=False)
     session = EvalSession(model, params, state, sensor)
     for ws, pad in ((16, 256), (None, 32)):
+        # Three-way pin: batched whole-pass program (default, r05) ==
+        # serial per-sequence stats loop (r04) == host MetricsEngine (oracle).
         rows_dev, overall_dev = evaluate_real_sequences(session, loader, ws, pad_multiple=pad)
+        rows_ser, overall_ser = evaluate_real_sequences(session, loader, ws, pad_multiple=pad,
+                                                        serial=True)
         rows_host, overall_host = evaluate_real_sequences(session, loader, ws, pad_multiple=pad,
                                                           host_metrics=True)
         assert [r[0] for r in rows_dev] == [r[0] for r in rows_host]
-        for rd, rh in zip(rows_dev, rows_host):
+        assert [r[0] for r in rows_ser] == [r[0] for r in rows_host]
+        for rd, rs, rh in zip(rows_dev, rows_ser, rows_host):
             np.testing.assert_allclose(rd[1:], rh[1:], rtol=5e-4, atol=5e-3, err_msg=rd[0])
+            np.testing.assert_allclose(rs[1:], rh[1:], rtol=5e-4, atol=5e-3, err_msg=rd[0])
+            np.testing.assert_allclose(rd[1:], rs[1:], rtol=5e-4, atol=5e-3, err_msg=rd[0])
         for k in overall_host:
             np.testing.assert_allclose(overall_dev[k], overall_host[k], rtol=5e-4, atol=5e-3,
                                        err_msg=k)
+            np.testing.assert_allclose(overall_ser[k], overall_host[k], rtol=5e-4, atol=5e-3,
+                                       err_msg=k)
+
+
+@pytest.mark.slow
+def test_trainer_eval_metrics_match_host_engine(assets_env, trained_dir, monkeypatch):
+    """Trainer.evaluate_valid/evaluate_test device-stats metrics == the host
+    MetricsEngine oracle (the loops they replaced in r05).
+
+    The valid oracle replays the exact pre-r05 per-batch engine.compute loop;
+    the test oracle is the CLI's host-metrics pass over the same loader +
+    window (identical chunking/freeze logic, different driver).
+    """
+    monkeypatch.setenv("EM_EXPERIMENTS", trained_dir)
+    import jax
+    from empose_tpu.train.loop import Trainer
+    from empose_tpu.data import transforms as T
+    from empose_tpu.data.datasets import EMRSequenceDataset, RealDataset, Loader
+    from empose_tpu.data.batches import collate_amass, collate_real
+    from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences
+    from empose_tpu.eval.metrics import MetricsEngine
+
+    cfg = tiny_train_config()
+    trainer = Trainer(cfg, seed=5)
+    me = MetricsEngine(trainer.smplh)
+
+    vds = EMRSequenceDataset(os.path.join(C.data_dir_synth(), "amass_emr"),
+                             window_size=16, window_mode="middle")
+    valid_loader = Loader(vds, 2, collate_amass, shuffle=False)
+    trainer.evaluate_valid(valid_loader, me)
+    m_stats = me.get_metrics()
+
+    me_oracle = MetricsEngine(trainer.smplh)
+    eval_base = jax.random.PRNGKey(8004)
+    for b_idx, host_batch in enumerate(valid_loader):
+        k = jax.random.fold_in(eval_base, b_idx)
+        batch = jax.device_put({k2: v for k2, v in host_batch.items() if k2 != "ids"})
+        out, vals, _ = trainer._eval_forward(trainer.params, trainer.state, batch, k)
+        normed = T.normalize_root(batch)
+        me_oracle.compute(
+            np.asarray(normed["poses"])[:, :, 3:], host_batch["shapes"],
+            np.asarray(out["pose_hat"]),
+            None if out.get("shape_hat") is None else np.asarray(out["shape_hat"]),
+            host_batch["seq_lengths"],
+            np.asarray(normed["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]))
+    m_host = me_oracle.get_metrics()
+    for k in m_host:
+        np.testing.assert_allclose(m_stats[k], m_host[k], rtol=5e-4, atol=5e-3,
+                                   err_msg=f"valid {k}")
+
+    tds = RealDataset(C.data_dir_real())
+    test_loader = Loader(tds, 1, collate_real, shuffle=False)
+    me.reset()
+    trainer.evaluate_test(test_loader, me, 16)
+    m_test = me.get_metrics()
+    session = EvalSession(trainer.model, trainer.params, trainer.state, trainer.sensor)
+    _, overall_host = evaluate_real_sequences(session, test_loader, 16,
+                                              host_metrics=True)
+    for k in overall_host:
+        np.testing.assert_allclose(m_test[k], overall_host[k], rtol=5e-4, atol=5e-3,
+                                   err_msg=f"test {k}")
 
 
 def test_train_ief_with_gradient(assets_env, trained_dir, monkeypatch):
@@ -383,6 +453,7 @@ def test_load_model_and_eval_data_partitions(assets_env, trained_dir, monkeypatc
     assert "joints_gt" in batch
 
 
+@pytest.mark.slow
 def test_forward_chunk_packing_matches_direct_forward(assets_env, trained_dir, monkeypatch):
     """EvalSession packs root|pose|shape into ONE device->host transfer; the
     unpacked host arrays must equal a direct model.forward call bit-for-bit."""
