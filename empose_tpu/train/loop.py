@@ -278,6 +278,27 @@ class Trainer:
 
         self._eval_forward = jax.jit(eval_fwd)
 
+        # Device-resident metric accumulation for the trainer's eval passes:
+        # fold the FK/Procrustes/MPJAE sufficient statistics into one jitted
+        # update per batch/chunk (zero host syncs; the pass flushes ONCE into
+        # MetricsEngine.set_stats). This is the same treatment the parity
+        # CLI's loop got in r04 — previously these passes paid ~8 blocking
+        # np.asarray readbacks per chunk through MetricsEngine.compute.
+        from empose_tpu.eval.metrics import metric_stats_update
+        smpl_dev = jax.device_put(self.smplh)
+
+        def stats_upd(stats, batch, pose_hat, root_ori_hat, shape_hat,
+                      frame_mask, *, normalize):
+            poses = T.normalize_root(batch)["poses"] if normalize else batch["poses"]
+            return metric_stats_update(
+                smpl_dev, stats, pose=poses[:, :, 3:], shape=batch["shapes"],
+                pose_hat=pose_hat, shape_hat=shape_hat,
+                seq_lengths=batch["seq_lengths"],
+                pose_root=poses[:, :, :3], pose_root_hat=root_ori_hat,
+                frame_mask=frame_mask)
+
+        self._eval_stats_update = jax.jit(stats_upd, static_argnames=("normalize",))
+
     def evaluate_valid(self, loader, metrics_engine: Optional[MetricsEngine] = None) -> Dict[str, float]:
         """Synthetic validation pass (reference eval/helpers.py:51-111).
 
@@ -285,12 +306,21 @@ class Trainer:
         the functional equivalent of the reference's reset_rng at eval start
         (noise_functions.py:130-136): repeated passes see identical draws, so
         eval losses are comparable across training.
+
+        Metrics accumulate as device-resident sufficient statistics (one
+        jitted update per batch, ZERO per-batch host syncs) and flush into
+        ``metrics_engine.set_stats`` at the end — a pass costs O(1) syncs
+        total (the loss flush + the stats flush). Metrics == the engine's
+        host path (pinned in test_train_eval).
         """
         if self._eval_forward is None:
             self._build_eval_forward()
         me = metrics_engine
+        stats = None
         if me is not None:
             me.reset()
+            from empose_tpu.eval.metrics import metric_stats_init
+            stats = metric_stats_init()
         # Loss scalars stay ON DEVICE for the whole pass and flush in one
         # batched device_get at the end — a float() per loss name per batch
         # is a device->host sync each (a tunnel round-trip here), the same
@@ -306,12 +336,11 @@ class Trainer:
             pending.append((vals, bs))
             n_samples += bs
             if me is not None:
-                normed = T.normalize_root(batch)
-                me.compute(np.asarray(normed["poses"])[:, :, 3:], host_batch["shapes"],
-                           np.asarray(out["pose_hat"]),
-                           None if out.get("shape_hat") is None else np.asarray(out["shape_hat"]),
-                           host_batch["seq_lengths"],
-                           np.asarray(normed["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]))
+                stats = self._eval_stats_update(
+                    stats, batch, out["pose_hat"], out["root_ori_hat"],
+                    out.get("shape_hat"), None, normalize=True)
+        if me is not None:
+            me.set_stats(jax.device_get(stats))
         agg: Dict[str, float] = {}
         for vals, bs in zip(jax.device_get([v for v, _ in pending]),
                             [b for _, b in pending]):
@@ -321,11 +350,23 @@ class Trainer:
 
     def evaluate_test(self, loader, metrics_engine: Optional[MetricsEngine] = None,
                       window_size: Optional[int] = None) -> Dict[str, float]:
-        """Real-data test pass with streaming windows."""
+        """Real-data test pass with streaming windows.
+
+        Like :meth:`evaluate_valid`, metric-bearing passes accumulate
+        device-resident sufficient statistics (one extra async dispatch per
+        chunk, ZERO per-chunk host syncs) and flush once into
+        ``metrics_engine.set_stats`` — the r04 CLI treatment, now on the
+        train-time eval path too.
+        """
         from empose_tpu.data.transforms import normalize_root
+        if self._eval_forward is None:
+            self._build_eval_forward()  # builds _eval_stats_update too
         session = EvalSession(self.model, self.params, self.state, self.sensor)
+        stats = None
         if metrics_engine is not None:
             metrics_engine.reset()
+            from empose_tpu.eval.metrics import metric_stats_init
+            stats = metric_stats_init()
         # Per-chunk loss scalars stay on device; one batched device_get per
         # PASS at the end (same treatment as evaluate_valid / fit()).
         pending, n_samples = [], 0
@@ -340,26 +381,27 @@ class Trainer:
             first_shape = None
             chunk_vals, n_chunks = [], 0
             for c, (chunk, _) in enumerate(window_generator(hb, window_size)):
-                # host=False: outputs/loss-vals stay device arrays; the only
-                # per-chunk syncs left are the metrics engine's (host numpy
-                # by design) np.asarray calls below, skipped on loss-only
-                # passes — the loss scalars flush once per pass.
+                # host=False: outputs/loss-vals stay device arrays — no host
+                # sync anywhere in the chunk loop.
                 out, vals, carry = session.forward_chunk(chunk, carry, host=False)
                 chunk_vals.append(vals)
                 n_chunks += 1
                 shape_hat = out.get("shape_hat")
                 if c == 0 and metrics_engine is not None:
-                    first_shape = None if shape_hat is None else np.asarray(shape_hat)[:, 0]
+                    # Chunk-0 shape freeze as a LAZY device slice.
+                    first_shape = None if shape_hat is None else shape_hat[:, 0]
                 if metrics_engine is not None:
-                    metrics_engine.compute(
-                        np.asarray(chunk["poses"])[:, :, 3:], np.asarray(chunk["shapes"]),
-                        np.asarray(out["pose_hat"]), first_shape,
-                        np.asarray(chunk["seq_lengths"]),
-                        np.asarray(chunk["poses"])[:, :, :3], np.asarray(out["root_ori_hat"]),
-                        frame_mask=np.asarray(chunk["marker_masks"]))
+                    device_chunk = jax.device_put({
+                        k2: chunk[k2] for k2 in
+                        ("poses", "shapes", "seq_lengths", "marker_masks")})
+                    stats = self._eval_stats_update(
+                        stats, device_chunk, out["pose_hat"], out["root_ori_hat"],
+                        first_shape, device_chunk["marker_masks"], normalize=False)
             bs = host_batch["poses"].shape[0]
             pending.append((chunk_vals, n_chunks, bs))
             n_samples += bs
+        if metrics_engine is not None:
+            metrics_engine.set_stats(jax.device_get(stats))
         agg: Dict[str, float] = {}
         flat = jax.device_get([v for cv, _, _ in pending for v in cv])
         pos = 0

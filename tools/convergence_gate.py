@@ -53,6 +53,11 @@ def main():
                         "Gating 'high' (and 'default') pins the TRAINING "
                         "DYNAMICS of the fast modes users are pointed at for "
                         "speed, not just their one-step numerics.")
+    p.add_argument("--experiment_id", default=None,
+                   help="Persist the trained model under this experiment id "
+                        "instead of the per-precision gate ids (920000/1/2) — "
+                        "e.g. a longer-trained model for robustness studies "
+                        "that must not clobber the recorded gate checkpoints.")
     args = p.parse_args()
 
     d = args.assets
@@ -136,7 +141,8 @@ def main():
     exp_root = os.environ["EM_EXPERIMENTS"]
     # One experiment id per precision mode so a 'high' gate run can't clobber
     # the strict-precision model that robustness studies load.
-    exp_id = {"highest": "920000", "high": "920001", "default": "920002"}[args.matmul_precision]
+    exp_id = args.experiment_id or {
+        "highest": "920000", "high": "920001", "default": "920002"}[args.matmul_precision]
     model_dir = get_model_dir(exp_root, exp_id)
     if model_dir is None:
         model_dir = os.path.join(exp_root, f"{exp_id}-gate-lgd-rnn6-{args.matmul_precision}")
