@@ -149,6 +149,7 @@ def test_sample_markers_with_offsets_levels(assets_env, smplh_model, noise_level
         np.testing.assert_allclose(got, expect, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_end_to_end_preprocess_fn(assets_env, smplh_model):
     sensor = SensorSMPL(smplh_model)
     bank = T.OffsetBank.from_offset_files(list(D.get_all_offset_files().values()))

@@ -69,6 +69,7 @@ def test_asset_generator_unchanged(assets_dir):
         "generator change is deliberate, re-record GOLDEN and update ASSET_DIGEST.")
 
 
+@pytest.mark.slow
 def test_golden_eval_numbers(assets_env):
     from empose_tpu.bodymodel.smplh import load_smplh
     smplh_model = load_smplh()  # the asset-tree SMPL (seed 11), not the seed-0 fixture

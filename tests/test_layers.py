@@ -300,6 +300,7 @@ def test_bn_one_pass_stats_step0_regime():
     assert float(jnp.max(jnp.abs(y_m * m[:, None]))) < 10.0
 
 
+@pytest.mark.slow
 def test_mlp_pair_grads_match_two_applies():
     """Pair-fused MLP (stacked GEMMs + stacked custom-VJP BN): value AND
     parameter gradients == two independent mlp_apply calls, train mode with

@@ -83,6 +83,7 @@ def test_virtual_sensor_frames_orthonormal(smplh_model):
     np.testing.assert_allclose(frames[..., 2], unit_n, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_virtual_sensors_subset_model_matches_full(smplh_model):
     rng = np.random.RandomState(1)
     poses_body = (rng.randn(2, 63) * 0.3).astype(np.float32)

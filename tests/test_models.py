@@ -126,6 +126,7 @@ def test_ief_parity(use_gradient, rnn_init, n_markers, synthetic_smplh_npz, smpl
                                out_t["history"]["marker_pos"].detach().numpy(), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_ief_loss_matches_reference_semantics(synthetic_smplh_npz, smplh_model):
     """compute_loss over the history reproduces the torch-side loss."""
     import torch as th

@@ -63,6 +63,7 @@ def test_padded_dp_step_exact_batch_mean(assets_env):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_dp_train_step_chunk_matches_single_steps(assets_env):
     """Host-loop unrolling under the DP mesh: one scanned 3-step program on
     8 devices matches three single DP steps (same key chain, same batches)."""
@@ -99,6 +100,7 @@ def test_dryrun_multichip_entrypoint():
     GE.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dp_step_matches_single_device():
     """Gradient all-reduce from shardings == single-device step (same batch)."""
     import optax

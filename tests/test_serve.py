@@ -75,6 +75,7 @@ def _lgd_setup(seed=1):
     return model, params, state
 
 
+@pytest.mark.slow
 def test_multi_stream_matches_single_streams(rnn_setup):
     """MultiStreamPredictor: 3 interleaved sessions == 3 independent
     single-stream predictors, frame for frame — including a mid-session reset
@@ -400,6 +401,7 @@ def test_serve_cli_precision_flag(rnn_setup, assets_env, monkeypatch, capsys, tm
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_streaming_lgd_with_carry(rnn_setup):
     """LGD-RNN predictor: chunked streaming == manual chunked forward with carry."""
     cfg = Configuration.from_dict(dict(

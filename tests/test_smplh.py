@@ -77,6 +77,7 @@ def test_subset_fk_equals_full_rows(smplh_model):
     np.testing.assert_allclose(np.asarray(v_sub), np.asarray(v_full)[:, rows], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_normalized_root_first_frame_identity(smplh_model):
     rng = np.random.RandomState(4)
     poses_body, betas, poses_root, trans = _random_inputs(rng, 5)
