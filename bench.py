@@ -321,9 +321,9 @@ def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3,
     """Steady-state streaming EVAL pass through the real parity-CLI loop.
 
     Drives :func:`evaluate_real_sequences` (the exact scripts/evaluate_real.py
-    code path: windowed chunks, LSTM carries, device-resident metric
-    accumulation with ONE host sync per sequence) over synthetic real-format
-    sequences. The reference's equivalent is its 73.2 s test pass
+    code path: since r05 the batched whole-pass program — all sequences
+    batched, windowed forward scanned on device, ONE dispatch + ONE host
+    sync per pass) over synthetic real-format sequences. The reference's equivalent is its 73.2 s test pass
     (reference README.md:232) — different corpus size, so the honest
     comparable is frames/s, reported alongside the pass seconds.
 
