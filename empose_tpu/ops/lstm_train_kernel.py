@@ -35,12 +35,12 @@ Residual memory: gates (F, N, 4H) + h/c streams, written once by the
 forward kernel and read once by the backward — the same residuals
 ``lax.scan``'s autodiff saves, minus the re-streamed weights.
 
-VMEM budget per kernel: one (H, 4H) f32 weight block + streamed step
-blocks; under ``Precision.HIGH`` the kernels additionally keep the bf16
-hi/lo splits of W_hh in VMEM scratch (8 bytes/element total instead of 4).
-Callers gate on :func:`fits_vmem_layer`, which is precision-aware:
-H <= ~900 at HIGHEST/DEFAULT (f32 block only), H <= ~640 at HIGH (f32 +
-both bf16 scratch splits resident).
+VMEM budget per kernel: one resident (H, 4H) recurrent-weight block +
+streamed step blocks — f32 at HIGHEST/DEFAULT, or the PRE-SPLIT bf16 hi/lo
+pair at HIGH (split once OUTSIDE the kernel, replacing the f32 block at
+equal bytes: 4H^2 * (2+2) — the same trick the fwd-only kernels in
+lstm_kernel.py use). Residency is 4 bytes/element at every precision, so
+:func:`fits_vmem_layer` bounds H <= ~900 uniformly.
 """
 
 from __future__ import annotations
@@ -65,27 +65,26 @@ if _PALLAS_OK:
 def fits_vmem_layer(hidden: int, precision=None) -> bool:
     """One direction-layer's recurrent weights resident at once.
 
-    Precision-aware: only ``Precision.HIGH`` allocates the bf16 hi/lo
-    scratch splits next to the f32 block (4H^2 * (4 + 2 + 2) bytes);
-    HIGHEST/DEFAULT keep just the f32 block (4H^2 * 4 bytes), so mid-size
-    hidden sizes (~640 < H <= ~900) stay on the kernel there. ``None``
-    (precision unknown at the call site) charges the conservative 8."""
-    bytes_per_elt = 8 if precision in (None, lax.Precision.HIGH) else 4
-    return hidden * 4 * hidden * bytes_per_elt <= _VMEM_WEIGHT_BUDGET
+    4 bytes/element at EVERY precision: HIGHEST/DEFAULT keep the f32 block,
+    HIGH keeps the pre-split bf16 hi/lo pair REPLACING it at equal bytes
+    (the split happens outside the kernel), so H <= ~900 uniformly. The
+    ``precision`` arg is accepted for call-site symmetry with the fwd-only
+    kernels' gates but no longer changes the bound."""
+    del precision
+    return hidden * 4 * hidden * 4 <= _VMEM_WEIGHT_BUDGET
 
 
 # ---------------------------------------------------------------------------
-# In-kernel 3-pass bf16 emulation of ``lax.Precision.HIGH`` (shared
-# split_bf16/dot3 helpers live in lstm_kernel.py). Mosaic raises on HIGH,
-# and the old clamp to HIGHEST ran the serial gate GEMMs as 6-pass f32
-# emulation — twice the MXU passes the caller asked to pay for. Here the
-# splits of the RESIDENT weights happen once (t == 0, into bf16 VMEM
-# scratch next to the f32 block; one direction-layer at a time, so the
-# doubled residency still fits — fits_vmem_layer accounts for it). The
-# fwd-only kernels in lstm_kernel.py keep (2L-1) matrices resident at
-# once, so they instead take pre-split bf16 pairs REPLACING the f32
-# block at equal bytes. Only the small per-step activation split is paid
-# every step.
+# 3-pass bf16 emulation of ``lax.Precision.HIGH`` (shared split_bf16/dot3
+# helpers live in lstm_kernel.py). Mosaic raises on HIGH, and the old clamp
+# to HIGHEST ran the serial gate GEMMs as 6-pass f32 emulation — twice the
+# MXU passes the caller asked to pay for. The RESIDENT weights are split
+# ONCE outside the kernel (in the custom_vjp core wrapper) and the bf16
+# hi/lo pair REPLACES the f32 block at equal bytes — the same scheme as the
+# fwd-only kernels in lstm_kernel.py, so weight residency is 4 bytes/elt at
+# every precision. Only the small per-step activation split is paid every
+# step. Gradients are unaffected: the custom_vjp supplies dW_hh from the
+# deferred outside GEMM, never through the split.
 
 # ---------------------------------------------------------------------------
 # Forward sweep: carried states in VMEM scratch, W_hh resident, per-step
@@ -94,9 +93,11 @@ def fits_vmem_layer(hidden: int, precision=None) -> bool:
 def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
     high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
-    def kernel(xp_ref, m_ref, whh_ref, h0_ref, c0_ref, *rest):
-        if high3:
-            *rest, whi_s, wlo_s = rest
+    def kernel(xp_ref, m_ref, *rest):
+        if high3:  # pre-split bf16 hi/lo pair replaces the f32 block
+            whi_ref, wlo_ref, h0_ref, c0_ref, *rest = rest
+        else:
+            whh_ref, h0_ref, c0_ref, *rest = rest
         if save_gates:
             g_ref, h_ref, c_ref, h_s, c_s = rest
         else:
@@ -107,15 +108,11 @@ def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
         def _():
             h_s[:] = h0_ref[:]
             c_s[:] = c0_ref[:]
-            if high3:  # weight splits once, resident for all F steps
-                hi, lo = _split_bf16(whh_ref[:])
-                whi_s[:] = hi
-                wlo_s[:] = lo
 
         m = m_ref[0]  # (N, 1)
         h, c = h_s[:], c_s[:]
         if high3:
-            rec = _dot3(h, whi_s[:], wlo_s[:])
+            rec = _dot3(h, whi_ref[:], wlo_ref[:])
         else:
             rec = jnp.dot(h, whh_ref[:], preferred_element_type=jnp.float32,
                           precision=precision)
@@ -136,11 +133,14 @@ def _make_fwd_kernel(hidden: int, precision, save_gates: bool):
     return kernel
 
 
-def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
-                *, hidden: int, interpret: bool, precision,
+def _pallas_fwd(x_proj, mask_col, *weights_and_state,
+                hidden: int, interpret: bool, precision,
                 save_gates: bool = True):
+    """``weights_and_state`` is ``(w_hh, h0, c0)`` at HIGHEST/DEFAULT or the
+    pre-split ``(whh_hi, whh_lo, h0, c0)`` at HIGH."""
     f, n = x_proj.shape[0], x_proj.shape[1]
     kernel = _make_fwd_kernel(hidden, precision, save_gates)
+    n_weights = len(weights_and_state) - 2
     step_h = pl.BlockSpec((1, n, hidden), lambda t: (t, 0, 0),
                           memory_space=pltpu.VMEM)
     gates_out = ((jax.ShapeDtypeStruct((f, n, 4 * hidden), x_proj.dtype),)
@@ -157,8 +157,11 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + [
             pl.BlockSpec((hidden, 4 * hidden), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_weights)
+        ] + [
             pl.BlockSpec((n, hidden), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n, hidden), lambda t: (0, 0),
@@ -170,11 +173,9 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
         scratch_shapes=[
             pltpu.VMEM((n, hidden), jnp.float32),
             pltpu.VMEM((n, hidden), jnp.float32),
-        ] + ([pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16),
-              pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16)]
-             if precision == lax.Precision.HIGH else []),
+        ],
         interpret=interpret,
-    )(x_proj, mask_col, w_hh, h0, c0)
+    )(x_proj, mask_col, *weights_and_state)
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +186,11 @@ def _pallas_fwd(x_proj, mask_col, w_hh, h0, c0,
 def _make_bwd_kernel(hidden: int, precision):
     high3 = precision == lax.Precision.HIGH
     precision = kernel_dot_precision(precision)
-    def kernel(dh_ref, dc_ref, g_ref, cp_ref, m_ref, whh_ref,
-               dg_ref, dh0_ref, dc0_ref, *scr):
+    def kernel(dh_ref, dc_ref, g_ref, cp_ref, m_ref, *rest):
+        if high3:  # pre-split bf16 hi/lo pair replaces the f32 block
+            whi_ref, wlo_ref, dg_ref, dh0_ref, dc0_ref = rest
+        else:
+            whh_ref, dg_ref, dh0_ref, dc0_ref = rest
         # The dh0/dc0 output blocks have constant index maps (VMEM-resident
         # for the whole grid), so they double as the reverse-sweep cotangent
         # carries — same pattern as the forward kernels' hf/cf blocks.
@@ -196,10 +200,6 @@ def _make_bwd_kernel(hidden: int, precision):
         def _():
             dh0_ref[:] = jnp.zeros_like(dh0_ref[:])
             dc0_ref[:] = jnp.zeros_like(dc0_ref[:])
-            if high3:
-                hi, lo = _split_bf16(whh_ref[:])
-                scr[0][:] = hi
-                scr[1][:] = lo
 
         m = m_ref[0]                       # (N, 1)
         Dh = dh0_ref[:] + dh_ref[0]        # total cotangent on carried h_t
@@ -228,7 +228,7 @@ def _make_bwd_kernel(hidden: int, precision):
         dg_ref[0] = dgates
         # ds_{t-1} through the gate matmul + the frozen-step bypass.
         if high3:
-            back = _dot3(dgates, scr[0][:], scr[1][:],
+            back = _dot3(dgates, whi_ref[:], wlo_ref[:],
                          dn=(((1,), (1,)), ((), ())))
         else:
             back = lax.dot_general(
@@ -241,8 +241,10 @@ def _make_bwd_kernel(hidden: int, precision):
     return kernel
 
 
-def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh,
-                *, hidden: int, interpret: bool, precision):
+def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, *weights,
+                hidden: int, interpret: bool, precision):
+    """``weights`` is ``(w_hh,)`` at HIGHEST/DEFAULT or the pre-split
+    ``(whh_hi, whh_lo)`` at HIGH."""
     f, n = dh_all.shape[0], dh_all.shape[1]
     kernel = _make_bwd_kernel(hidden, precision)
     rev_h = pl.BlockSpec((1, n, hidden), lambda t: (f - 1 - t, 0, 0),
@@ -264,19 +266,18 @@ def _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh,
             rev_h,
             pl.BlockSpec((1, n, 1), lambda t: (f - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
+        ] + [
             pl.BlockSpec((hidden, 4 * hidden), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM)
+            for _ in range(len(weights))
         ],
         out_specs=(
             pl.BlockSpec((1, n, 4 * hidden), lambda t: (f - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
             const_h, const_h,
         ),
-        scratch_shapes=([pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16),
-                         pltpu.VMEM((hidden, 4 * hidden), jnp.bfloat16)]
-                        if precision == lax.Precision.HIGH else []),
         interpret=interpret,
-    )(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh)
+    )(dh_all, dc_all, gates_all, c_prev_all, mask_col, *weights)
 
 
 # ---------------------------------------------------------------------------
@@ -290,13 +291,17 @@ def _partitioned_fwd(hidden: int, interpret: bool, precision,
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def impl(x_proj, mask_col, w_hh, h0, c0):
-        return _pallas_fwd(x_proj, mask_col, w_hh, h0, c0, hidden=hidden,
-                           interpret=interpret, precision=precision,
-                           save_gates=save_gates)
+    # HIGH takes the pre-split bf16 weight pair -> one extra replicated arg.
+    n_weights = 2 if precision == lax.Precision.HIGH else 1
+
+    def impl(x_proj, mask_col, *weights_and_state):
+        return _pallas_fwd(x_proj, mask_col, *weights_and_state,
+                           hidden=hidden, interpret=interpret,
+                           precision=precision, save_gates=save_gates)
 
     outs = ("f n g, " if save_gates else "") + "f n h, f n h"
-    rule = f"f n g, f n u, h g, n h, n h -> {outs}"
+    w_terms = ", ".join(["h g"] * n_weights)
+    rule = f"f n g, f n u, {w_terms}, n h, n h -> {outs}"
     fcp = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
@@ -305,7 +310,7 @@ def _partitioned_fwd(hidden: int, interpret: bool, precision,
         nb = NamedSharding(mesh, P(b, None))
         rep = NamedSharding(mesh, P())
         out_sh = (st, st, st) if save_gates else (st, st)
-        return mesh, impl, out_sh, (st, st, rep, nb, nb)
+        return mesh, impl, out_sh, (st, st) + (rep,) * n_weights + (nb, nb)
 
     def infer(mesh, arg_shapes, result_shape):
         st = NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
@@ -322,12 +327,15 @@ def _partitioned_bwd(hidden: int, interpret: bool, precision):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def impl(dh_all, dc_all, gates_all, c_prev_all, mask_col, w_hh):
+    n_weights = 2 if precision == lax.Precision.HIGH else 1
+
+    def impl(dh_all, dc_all, gates_all, c_prev_all, mask_col, *weights):
         return _pallas_bwd(dh_all, dc_all, gates_all, c_prev_all, mask_col,
-                           w_hh, hidden=hidden, interpret=interpret,
+                           *weights, hidden=hidden, interpret=interpret,
                            precision=precision)
 
-    rule = "f n h, f n h, f n g, f n h, f n u, i g -> f n g, n h, n h"
+    w_terms = ", ".join(["i g"] * n_weights)
+    rule = f"f n h, f n h, f n g, f n h, f n u, {w_terms} -> f n g, n h, n h"
     fcp = custom_partitioning(impl)
 
     def partition(mesh, arg_shapes, result_shape):
@@ -335,7 +343,7 @@ def _partitioned_bwd(hidden: int, interpret: bool, precision):
         st = NamedSharding(mesh, P(None, b, None))
         nb = NamedSharding(mesh, P(b, None))
         rep = NamedSharding(mesh, P())
-        return mesh, impl, (st, nb, nb), (st, st, st, st, st, rep)
+        return mesh, impl, (st, nb, nb), (st, st, st, st, st) + (rep,) * n_weights
 
     def infer(mesh, arg_shapes, result_shape):
         b = _batch_axis(arg_shapes)
@@ -355,19 +363,28 @@ def _partitioned_bwd(hidden: int, interpret: bool, precision):
 # mask multiply on outputs, final-state slices, downstream consumers) gets
 # its gradient from XLA autodiff; the core supplies dx_proj/dw_hh/dh0/dc0.
 
+def _weight_operands(w_hh, precision):
+    """The kernel's resident-weight operands: the f32 block, or its bf16
+    hi/lo split at HIGH (split OUTSIDE the kernel, once per trace; XLA CSEs
+    the primal/fwd splits and the residual keeps only the f32 block)."""
+    if precision == lax.Precision.HIGH:
+        return _split_bf16(w_hh)
+    return (w_hh,)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def _lstm_core(x_proj, mask01, w_hh, h0, c0, hidden, interpret, precision):
     # Undifferentiated primal: skip the gate-preactivation residual stream
     # entirely (it only exists to feed the backward sweep).
     h_all, c_all = _partitioned_fwd(hidden, interpret, precision,
                                     save_gates=False)(
-        x_proj, mask01[:, :, None], w_hh, h0, c0)
+        x_proj, mask01[:, :, None], *_weight_operands(w_hh, precision), h0, c0)
     return h_all, c_all
 
 
 def _lstm_core_fwd(x_proj, mask01, w_hh, h0, c0, hidden, interpret, precision):
     gates, h_all, c_all = _partitioned_fwd(hidden, interpret, precision)(
-        x_proj, mask01[:, :, None], w_hh, h0, c0)
+        x_proj, mask01[:, :, None], *_weight_operands(w_hh, precision), h0, c0)
     # Shifted carried states: step t's backward needs the step-(t-1) state.
     h_prev = jnp.concatenate([h0[None], h_all[:-1]])
     c_prev = jnp.concatenate([c0[None], c_all[:-1]])
@@ -378,7 +395,8 @@ def _lstm_core_bwd(hidden, interpret, precision, res, cts):
     gates, h_prev, c_prev, mask01, w_hh = res
     dh_all, dc_all = cts
     dgates, dh0, dc0 = _partitioned_bwd(hidden, interpret, precision)(
-        dh_all, dc_all, gates, c_prev, mask01[:, :, None], w_hh)
+        dh_all, dc_all, gates, c_prev, mask01[:, :, None],
+        *_weight_operands(w_hh, precision))
     # The deferred weight gradient: one (H, F*N) x (F*N, 4H) MXU GEMM.
     dw_hh = jnp.einsum("fnh,fng->hg", h_prev, dgates, precision=precision)
     dx_proj = dgates

@@ -105,10 +105,13 @@ def test_lstm_apply_train_gate_gradients(monkeypatch, bidirectional):
                                    rtol=2e-5, atol=2e-6)
 
 
-def test_train_kernel_batch_sharded():
+@pytest.mark.parametrize("precision", [lax.Precision.HIGHEST,
+                                       lax.Precision.HIGH])
+def test_train_kernel_batch_sharded(precision):
     """custom_partitioning on BOTH sweeps: a DP-sharded value_and_grad
     through the kernel matches the unsharded result, and the batch
-    sharding survives to the forward outputs."""
+    sharding survives to the forward outputs. HIGH exercises the
+    pre-split weight pair's extra replicated operand in the rules."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devs = jax.devices()
@@ -127,6 +130,7 @@ def test_train_kernel_batch_sharded():
 
     def loss(cell, x, mask, h0, c0):
         out, (hF, cF) = lstm_cell_train_pallas(cell, x, mask, h0, c0,
+                                               precision=precision,
                                                interpret=True)
         return jnp.sum(out ** 2) + jnp.sum(hF ** 2) + jnp.sum(cF ** 2)
 
@@ -138,6 +142,8 @@ def test_train_kernel_batch_sharded():
         cell, jax.device_put(x, bsh), jax.device_put(mask, bsh),
         jax.device_put(h0, nsh), jax.device_put(c0, nsh))
 
+    # Sharded == unsharded at tight tolerance regardless of precision: the
+    # per-shard math is identical, only the partitioning differs.
     np.testing.assert_allclose(float(v_s), float(v_ref), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -145,7 +151,8 @@ def test_train_kernel_batch_sharded():
 
     out_sharded, _ = lstm_cell_train_pallas(
         cell, jax.device_put(x, bsh), jax.device_put(mask, bsh),
-        jax.device_put(h0, nsh), jax.device_put(c0, nsh), interpret=True)
+        jax.device_put(h0, nsh), jax.device_put(c0, nsh),
+        precision=precision, interpret=True)
     assert "data" in str(out_sharded.sharding.spec), out_sharded.sharding
 
 
@@ -217,15 +224,57 @@ def test_high_precision_three_pass_emulation():
         assert np.max(np.abs(a - b)) / scale < 5e-3
 
 
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="hardware parity check needs the real TPU "
+                           "(run with EMPOSE_TEST_PLATFORM=axon)")
+@pytest.mark.parametrize("precision", [lax.Precision.HIGHEST,
+                                       lax.Precision.HIGH])
+def test_train_kernel_hardware_parity(precision):
+    """COMPILED (non-interpret) custom_vjp kernel pair == masked scan on the
+    real chip, forward AND gradients — covers the Mosaic-lowered kernels
+    (incl. the HIGH mode's pre-split bf16 weight pair) that interpret-mode
+    parity cannot."""
+    rng = np.random.RandomState(13)
+    f, n, i, h = 12, 8, 16, 128
+    cell = L.lstm_init(jax.random.PRNGKey(4), i, h, 1)["layers"][0]["fwd"]
+    x = jnp.asarray(rng.randn(f, n, i).astype(np.float32))
+    lengths = jnp.asarray([12, 9, 12, 0, 3, 12, 1, 7])
+    mask = _mixed_lengths_mask(f, lengths)
+    h0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+    c0 = jnp.asarray(rng.randn(n, h).astype(np.float32) * 0.1)
+
+    def loss(fn):
+        def go(cell, x, h0, c0):
+            out, (hF, cF) = fn(cell, x, mask, h0, c0)
+            return jnp.sum(out ** 2) + jnp.sum(hF ** 2) + jnp.sum(cF ** 2)
+        return go
+
+    scan = lambda c2, x2, m2, h2, c02: L._lstm_cell_scan(c2, x2, m2, h2, c02)
+    kern = lambda c2, x2, m2, h2, c02: lstm_cell_train_pallas(
+        c2, x2, m2, h2, c02, precision=precision, interpret=False)
+
+    v_ref, g_ref = jax.jit(jax.value_and_grad(loss(scan), argnums=(0, 1, 2, 3)))(
+        cell, x, h0, c0)
+    v_k, g_k = jax.jit(jax.value_and_grad(loss(kern), argnums=(0, 1, 2, 3)))(
+        cell, x, h0, c0)
+
+    # HIGH runs 3-pass bf16 on the MXU vs the scan's f32: looser bound.
+    tight = precision == lax.Precision.HIGHEST
+    np.testing.assert_allclose(float(v_k), float(v_ref),
+                               rtol=1e-5 if tight else 5e-3)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_k)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.max(np.abs(a)) + 1e-9
+        assert np.max(np.abs(a - b)) / scale < (1e-4 if tight else 5e-3)
+
+
 def test_fits_vmem_layer_gate():
-    assert fits_vmem_layer(512)       # released stacks: 8 MB resident (f32 + bf16 splits)
+    assert fits_vmem_layer(512)       # released stacks: 4 MB resident
     assert not fits_vmem_layer(2048)  # >64 MB: must fall back to the scan
-    # Precision-aware gate: only HIGH allocates the bf16 hi/lo scratch
-    # (8 bytes/elt); HIGHEST/DEFAULT keep just the f32 block (4 bytes/elt),
-    # so a mid-size hidden (768: f32 block ~9 MB, doubled ~18 MB) stays on
-    # the kernel at non-HIGH precisions and falls back only at HIGH.
+    # Weight residency is 4 bytes/element at EVERY precision (HIGH takes
+    # the pre-split bf16 hi/lo pair REPLACING the f32 block at equal
+    # bytes), so a mid-size hidden (768: ~9 MB) fits uniformly.
+    assert fits_vmem_layer(768)
     assert fits_vmem_layer(768, lax.Precision.HIGHEST)
-    assert fits_vmem_layer(768, lax.Precision.DEFAULT)
-    assert not fits_vmem_layer(768, lax.Precision.HIGH)
-    assert not fits_vmem_layer(768)   # unknown precision: conservative 8
+    assert fits_vmem_layer(768, lax.Precision.HIGH)
     assert not fits_vmem_layer(2048, lax.Precision.HIGHEST)
