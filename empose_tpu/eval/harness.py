@@ -193,10 +193,14 @@ class EvalSession:
             ~2.2x for 4x rows on the chip). Identical sums either way (frame
             sums decompose over chunks).
 
-            Chunk 0 runs OUTSIDE the scan with ``carry=None`` so models that
-            derive their initial recurrent state from frame 0 (learn_init_
-            state; reference layers.py:121-131) keep their semantics, and its
-            returned carry fixes the scan-carry structure for chunks 1..C-1.
+            ALL chunks (including chunk 0) run inside one scan over a ZERO
+            initial carry, so the model forward is traced/compiled ONCE:
+            ``carry=None`` is equivalent to zeros for every model here —
+            ``lstm_apply`` materializes zeros for a None init state, and
+            learn-init-state models discard the carry each window anyway
+            (the reference quirk, layers.py:121-131 / nn/models.py RNN
+            forward). The carry STRUCTURE comes from ``jax.eval_shape`` of
+            the chunk forward, so no model-specific API is needed.
             """
             from empose_tpu.data.transforms import normalize_root
             from empose_tpu.eval.metrics import metric_stats_init, metric_stats_update
@@ -228,23 +232,21 @@ class EvalSession:
                 return new_carry, pose_full, shape_hat
 
             first = {k: v[0] for k, v in chunks.items()}
-            carry, pose0, shape_hat0 = chunk_fwd(None, first, 0)
-            has_shape = shape_hat0 is not None
-            # Chunk-0 shape freeze (reference evaluate_real.py:63-68).
-            frozen = shape_hat0[:, 0] if has_shape else jnp.zeros_like(batch["shapes"])
-            if c > 1:
-                rest = {k: v[1:] for k, v in chunks.items()}
+            carry_sds, _, shape_sds = jax.eval_shape(chunk_fwd, None, first, 0)
+            has_shape = shape_sds is not None
+            carry0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), carry_sds)
 
-                def body(carry, xs):
-                    chunk_t, idx = xs
-                    new_carry, pose_full, _ = chunk_fwd(carry, chunk_t, idx)
-                    return new_carry, pose_full
+            def body(carry, xs):
+                chunk_t, idx = xs
+                new_carry, pose_full, shape_hat = chunk_fwd(carry, chunk_t, idx)
+                shape0 = shape_hat[:, 0] if has_shape else jnp.zeros((0,))
+                return new_carry, (pose_full, shape0)
 
-                _, pose_rest = lax.scan(body, carry, (rest, jnp.arange(1, c)))
-                pose_all = jnp.concatenate([pose0[None], pose_rest])  # (C, N, W, 66)
-            else:
-                pose_all = pose0[None]
+            _, (pose_all, shape0_all) = lax.scan(
+                body, carry0, (chunks, jnp.arange(c)))       # (C, N, W, 66)
             pose_hat = jnp.moveaxis(pose_all, 1, 0).reshape(n, f, -1)  # (N, F, 66)
+            # Chunk-0 shape freeze (reference evaluate_real.py:63-68).
+            frozen = shape0_all[0] if has_shape else jnp.zeros_like(batch["shapes"])
 
             stats = metric_stats_update(
                 sensor.full, metric_stats_init(n),
