@@ -146,6 +146,11 @@ def _rotmat_angles(pose: jnp.ndarray, pose_hat: jnp.ndarray) -> jnp.ndarray:
 N_EUCL_JOINTS = C.N_JOINTS + 1   # root + 21 body joints (reference metrics.py:82)
 N_ANGLE_JOINTS = C.N_JOINTS      # body joints, root dropped (reference metrics.py:92)
 
+# Same env gate as the model-side lane-major FK (nn/models.py): =0 reverts
+# the stats path to row-major smplh_fk + local_to_global for attribution.
+import os as _os_lanes
+_USE_LANE_FK = _os_lanes.environ.get("EMPOSE_FK_LANES", "1") != "0"
+
 
 def metric_stats_init(n_seqs: int = None) -> Dict[str, jnp.ndarray]:
     """Zeroed sufficient-statistics pytree (jit-carryable).
@@ -224,17 +229,36 @@ def metric_stats_update(smpl, stats: Dict[str, jnp.ndarray], pose, shape, pose_h
         r = pose_root.reshape(rows, 3)
         r_hat = pose_root_hat.reshape(rows, 3)
 
-    _, kp = smplh_fk(smpl, p, s, r, want_vertices=False)
-    _, kp_hat = smplh_fk(smpl, p_hat, s_hat, r_hat, want_vertices=False)
-    kp = kp[:, :N_EUCL_JOINTS]
-    kp_hat = kp_hat[:, :N_EUCL_JOINTS]
+    if _USE_LANE_FK:
+        # Lane-major body-subtree kinematics: ONE level-parallel compose per
+        # side yields the world joints AND the identity-root global
+        # orientations the angle metric needs — ~10x the row-major FK +
+        # local_to_global pair on TPU (tile-padding waste; fk_lanes module
+        # docstring). Pinned at HIGHEST precision; EMPOSE_FK_LANES=0 falls
+        # back to the row-major path for attribution (the host MetricsEngine
+        # oracle below always uses row-major).
+        from empose_tpu.ops.fk_lanes import lane_metric_fk
+        from empose_tpu.ops.so3 import so3_log_map
+        jt = smpl.j_template[:N_EUCL_JOINTS]
+        jsd = smpl.j_shapedirs[:N_EUCL_JOINTS]
+        parents = tuple(int(x) for x in smpl.parents[:N_EUCL_JOINTS])
+        kp, glob = lane_metric_fk(jt, jsd, parents, p, s, r)
+        kp_hat, glob_hat = lane_metric_fk(jt, jsd, parents, p_hat, s_hat, r_hat)
+        aa = so3_log_map(glob)
+        aa_hat = so3_log_map(glob_hat)
+        angles = jnp.rad2deg(rotation_intrinsic_distance_from_aa(aa, aa_hat))
+    else:
+        _, kp = smplh_fk(smpl, p, s, r, want_vertices=False)
+        _, kp_hat = smplh_fk(smpl, p_hat, s_hat, r_hat, want_vertices=False)
+        kp = kp[:, :N_EUCL_JOINTS]
+        kp_hat = kp_hat[:, :N_EUCL_JOINTS]
+        angles = _angle_dists(p, p_hat, C.SMPL_PARENTS)
 
     diff = kp - kp_hat
     eucl = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     kp_hat_pa = jax.vmap(procrustes_align)(kp, kp_hat)
     diff_pa = kp - kp_hat_pa
     eucl_pa = jnp.sqrt(jnp.sum(diff_pa * diff_pa, axis=-1))
-    angles = _angle_dists(p, p_hat, C.SMPL_PARENTS)
 
     if per_sample:
         def acc(x):

@@ -146,6 +146,108 @@ def _tree_levels(parents) -> Tuple[Tuple[Tuple[int, ...], Tuple[int, ...]], ...]
     return tuple(levels)
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _level_schedule(parents: Tuple[int, ...]):
+    """Level schedule + bookkeeping for the level-parallel compose: the
+    levels, per-level parent positions within the level-ordered concat, and
+    the inverse permutation restoring joint order (host ints, cached per
+    topology — same machinery LaneFK bakes per instance)."""
+    levels = _tree_levels(parents)
+    order = [0] + [j for ids, _ in levels for j in ids]
+    inv = np.empty(len(parents), np.int64)
+    inv[np.asarray(order)] = np.arange(len(parents))
+    pos_of = {0: 0}
+    k = 1
+    ppos = []
+    for ids, pars in levels:
+        ppos.append(np.asarray([pos_of[p] for p in pars]))
+        for j in ids:
+            pos_of[j] = k
+            k += 1
+    return levels, ppos, inv
+
+
+def _compose_levels(R, rel, parents: Tuple[int, ...]):
+    """Level-parallel kinematic compose in lane layout.
+
+    All joints at one tree depth compose against their (already global)
+    parents in ONE batched op — the serial chain is the tree depth (~9),
+    not the joint count. Same math as LaneFK.__call__'s inline loop.
+
+    :param R: (J, 3, 3, N) local rotations; :param rel: (J, 3, N) rest
+      offsets relative to the parent (root absolute).
+    :return: (Rg (J, 3, 3, N) global rotations, tg (J, 3, N) joint positions).
+    """
+    levels, ppos_list, inv = _level_schedule(tuple(parents))
+    Rg = R[:1]
+    tg = rel[:1]
+    for (ids, _), ppos in zip(levels, ppos_list):
+        R_par = Rg[ppos]
+        t_par = tg[ppos]
+        ids_a = np.asarray(ids)
+        Rg = jnp.concatenate([Rg, _compose(R_par, R[ids_a])])
+        tg = jnp.concatenate([tg, _rotate(R_par, rel[ids_a]) + t_par])
+    return Rg[inv], tg[inv]
+
+
+def lane_metric_fk(j_template, j_shapedirs, parents, pose_body, betas,
+                   pose_root):
+    """Metric-engine kinematics, lane-major: world joints + identity-root
+    global orientations from ONE level-parallel compose.
+
+    The metrics path (reference metrics.py:183-241) needs, per side:
+      * world joints over the BODY subtree (root + 21 joints) with the real
+        root rotation, no translation/vertices — ``smplh_fk(want_vertices=
+        False)`` semantics (hand joints are leaves below the wrists; they
+        cannot move joints 0..21, so the 22-joint subtree suffices);
+      * identity-root global orientations for MPJAE — ``_angle_dists``'s
+        zero-dummy-root convention (reference metrics.py:230-239).
+    Both fall out of one identity-root compose: ``Rg_real = R_root @ Rg_id``
+    and joints rotate about the root joint, ``t_real = R_root (t_id - j0)
+    + j0`` (the smplx rigid-transform convention, bodymodel/smplh.py
+    ``_rigid_transform_chain``). Row-major FK on the metric shapes runs
+    ~10x slower purely from tile-padding waste (see module docstring); the
+    host MetricsEngine stays on the row-major path as the parity oracle.
+
+    Precision: pinned to HIGHEST regardless of ``set_fk_precision`` — the
+    metric numbers are the acceptance surface and must not shift with the
+    serving-precision knob (the compose itself is elementwise VPU math;
+    only the shape regression below is a GEMM).
+
+    :param j_template: (J, 3) rest joints, J = 22 body subtree;
+    :param j_shapedirs: (J, 3, B) factored joint regressor;
+    :param parents: length-J static parent tuple;
+    :param pose_body: (rows, (J-1)*3) body pose angle-axis (no root);
+    :param betas: (rows, >=B); :param pose_root: (rows, 3).
+    :return: (joints (rows, J, 3), glob_id (rows, J-1, 3, 3)).
+    """
+    n = pose_body.shape[0]
+    J = len(parents)
+    dtype = pose_body.dtype
+    aa_id = jnp.concatenate(
+        [jnp.zeros((n, 3), dtype), pose_body[:, : (J - 1) * 3]], axis=-1)
+    R = _rodrigues_lanes(aa_id.T.reshape(J, 3, n))
+    n_betas = j_shapedirs.shape[-1]
+    bT = betas[:, :n_betas].astype(dtype).T                              # (B, N)
+    j_rest = (jnp.reshape(j_template, (J * 3, 1))
+              + jnp.matmul(jnp.reshape(j_shapedirs, (J * 3, n_betas)), bT,
+                           precision=lax.Precision.HIGHEST)).reshape(J, 3, n)
+    par = np.asarray([max(p, 0) for p in parents])
+    rel = jnp.concatenate([j_rest[:1], j_rest[1:] - j_rest[par[1:]]])
+    Rg_id, t_id = _compose_levels(R, rel, tuple(int(p) for p in parents))
+
+    R_root = _rodrigues_lanes(pose_root.astype(dtype).T.reshape(1, 3, n))  # (1,3,3,N)
+    j0 = j_rest[:1]                                                        # (1,3,N)
+    t_real = _rotate(jnp.broadcast_to(R_root, (J,) + R_root.shape[1:]),
+                     t_id - j0) + j0
+    joints = t_real.transpose(2, 0, 1)                                     # (rows, J, 3)
+    glob_id = Rg_id[1:].transpose(3, 0, 1, 2)                              # (rows, J-1, 3, 3)
+    return joints, glob_id
+
+
 class LaneFK:
     """Baked lane-major FK + sensor synthesis for one subset model + tables.
 
