@@ -369,7 +369,7 @@ def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3,
     one_pass()
     first = time.perf_counter() - t0
     if first_only:
-        return first, None, None, None
+        return first, None, None, None, None
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -377,7 +377,29 @@ def run_eval_pass_tpu(n_seqs=4, frames=1024, window=256, repeats=3,
         times.append(time.perf_counter() - t0)
     assert np.isfinite(overall["MPJPE [mm]"])
     best = min(times)
-    return first, best, n_seqs * frames / best, _median(times)
+
+    # DEVICE-RESIDENT program cost: the pass program alone on a pre-uploaded
+    # corpus, slope-measured (K-repetition inside the dispatch queue) so the
+    # tunnel RTT and the per-pass host collate/upload — which dominate
+    # end-to-end steady state in THIS tunneled environment — divide out.
+    # This is the number a locally-attached TPU pays per pass, and the one
+    # the eval-side kernel work (lane metric FK, Horn Procrustes) moves.
+    from empose_tpu.eval.harness import build_eval_corpus
+    _, _, stacked, win = build_eval_corpus(seqs, window)
+    db = jax.device_put(stacked)
+
+    def chain(k):
+        t0 = time.perf_counter()
+        outs = [session._run_pass(session.params, session.state, db, win)
+                for _ in range(k)]
+        jax.block_until_ready(outs[-1][0]["n"])
+        return time.perf_counter() - t0
+
+    chain(2)
+    lo = min(chain(2) for _ in range(3))
+    hi = min(chain(12) for _ in range(3))
+    program_s = max((hi - lo) / 10, 1e-9)
+    return first, best, n_seqs * frames / best, _median(times), program_s
 
 
 def run_torch_cpu(batch=BATCH, window=WINDOW, iters=2):
@@ -457,7 +479,7 @@ def main():
                                             force_synchronous_dispatch)
         enable_compilation_cache()
         force_synchronous_dispatch()
-        first, _, _, _ = run_eval_pass_tpu(first_only=True)
+        first, _, _, _, _ = run_eval_pass_tpu(first_only=True)
         print(json.dumps({"eval_pass_first_s": round(first, 2)}))
         return
 
@@ -567,11 +589,16 @@ def main():
         # Steady-state eval pass through the parity CLI's loop (batched
         # whole-pass program since r05; the serial per-sequence loop is the
         # r04 baseline row).
-        ev_first, ev_steady, ev_fps, ev_median = run_eval_pass_tpu()
+        (ev_first, ev_steady, ev_fps, ev_median,
+         ev_program_s) = run_eval_pass_tpu()
         result["eval_pass_first_s"] = round(ev_first, 2)
         result["eval_pass_steady_s"] = round(ev_steady, 3)
         result["eval_pass_steady_median_s"] = round(ev_median, 3)
         result["eval_pass_fps"] = round(ev_fps, 1)
+        # Device-resident program cost (tunnel upload/RTT divided out) —
+        # what a locally-attached chip pays per pass.
+        result["eval_pass_program_ms"] = round(ev_program_s * 1e3, 2)
+        result["eval_pass_program_fps"] = round(4 * 1024 / ev_program_s, 1)
         result["eval_pass_regime"] = ("4 seqs x 1024 frames, window 256, "
                                       "device-resident metrics")
         # First call of a FRESH process once the persistent XLA cache is warm

@@ -466,16 +466,46 @@ def _evaluate_real_sequences_batched(session: EvalSession, loader,
     """
     from empose_tpu.eval.metrics import (metric_stats_init, metric_stats_reduce,
                                          metric_stats_select, metrics_from_stats)
+    corpus = build_eval_corpus(loader, window_size, pad_multiple)
+    if corpus is None:
+        overall = metrics_from_stats(metric_stats_init())
+        return [["Overall average"] + [overall[k] for k in overall]], overall
+    ids, lengths, stacked, window = corpus
+    for sid, n in zip(ids, lengths):  # reference evaluate_real.py:48 contract
+        print(f"Evaluate {sid} ({n} frames)")
+
+    device_batch = jax.device_put(stacked)
+    stats, _frozen = session._run_pass(session.params, session.state,
+                                       device_batch, window)
+    host_stats = jax.device_get(stats)  # the ONE sync of the whole pass
+
+    rows = []
+    for i, sid in enumerate(ids):
+        m = metrics_from_stats(metric_stats_select(host_stats, i))
+        rows.append([sid] + [m[k] for k in m])
+    overall = metrics_from_stats(metric_stats_reduce(host_stats))
+    rows.append(["Overall average"] + [overall[k] for k in overall])
+    return rows, overall
+
+
+def build_eval_corpus(loader, window_size: Optional[int], pad_multiple: int = 256):
+    """Host-side corpus assembly for the batched whole-pass program.
+
+    Gathers every sequence from ``loader``, pads all to a common frame count
+    (rounded up to the window), and stacks them on the batch axis — the
+    exact input of ``EvalSession._run_pass``. Exposed so callers that
+    evaluate the SAME corpus repeatedly (train-time eval cadence, benches)
+    can upload it once and reuse the device batch across passes.
+
+    :return: (ids, true_lengths, stacked host dict, window) or None if the
+      loader is empty.
+    """
     seqs = []
     for batch in loader:
         for j in range(len(batch["ids"])):
             seqs.append(_select_sample(batch, j))
     if not seqs:
-        overall = metrics_from_stats(metric_stats_init())
-        return [["Overall average"] + [overall[k] for k in overall]], overall
-    for b in seqs:  # reference evaluate_real.py:48 progress contract
-        print(f"Evaluate {b['ids'][0]} ({int(b['seq_lengths'][0])} frames)")
-
+        return None
     f_max = max(b["poses"].shape[1] for b in seqs)
     step = window_size if window_size is not None else pad_multiple
     f_pad = _round_up(f_max, step)
@@ -483,18 +513,9 @@ def _evaluate_real_sequences_batched(session: EvalSession, loader,
     padded = [pad_time(b, f_pad) for b in seqs]
     stacked = {k: np.concatenate([np.asarray(p[k]) for p in padded])
                for k in padded[0] if k != "ids"}
-    device_batch = jax.device_put(stacked)
-    stats, _frozen = session._run_pass(session.params, session.state,
-                                       device_batch, window)
-    host_stats = jax.device_get(stats)  # the ONE sync of the whole pass
-
-    rows = []
-    for i, b in enumerate(seqs):
-        m = metrics_from_stats(metric_stats_select(host_stats, i))
-        rows.append([b["ids"][0]] + [m[k] for k in m])
-    overall = metrics_from_stats(metric_stats_reduce(host_stats))
-    rows.append(["Overall average"] + [overall[k] for k in overall])
-    return rows, overall
+    ids = [b["ids"][0] for b in seqs]
+    lengths = [int(b["seq_lengths"][0]) for b in seqs]
+    return ids, lengths, stacked, window
 
 
 def _evaluate_real_sequences_serial(session: EvalSession, loader,

@@ -124,6 +124,30 @@ def test_compute_angle_dist_rotmat(smplh_model):
     np.testing.assert_allclose(m["MPJAE [deg]"], np.rad2deg(delta), rtol=1e-3)
 
 
+def test_horn_procrustes_matches_svd():
+    """Batched Horn-quaternion Procrustes == the vmapped det-corrected SVD
+    path on random, reflection-dominant, and degenerate point sets — the
+    aligned outputs agree elementwise, and degenerate inputs stay finite."""
+    import jax
+    rng = np.random.RandomState(3)
+    X = rng.randn(64, 22, 3).astype(np.float32)
+    Y = rng.randn(64, 22, 3).astype(np.float32)
+    # Reflection-dominant pairs (negative-determinant cross-covariance):
+    # the det correction must engage identically in both solvers.
+    Y[32:48] = X[32:48] * np.asarray([1, 1, -1], np.float32)
+    # Near-planar sets (rank-2 covariance).
+    X[48:56, :, 2] = 0.0
+    Y[48:56, :, 2] = 0.0
+    Z_horn = np.asarray(ME.procrustes_align_batched(jnp.asarray(X), jnp.asarray(Y)))
+    Z_svd = np.asarray(jax.vmap(ME.procrustes_align)(jnp.asarray(X), jnp.asarray(Y)))
+    np.testing.assert_allclose(Z_horn, Z_svd, rtol=1e-3, atol=1e-4)
+
+    # All-points-equal (zero-norm) rows: finite output, like the SVD guard.
+    Xz = np.zeros((4, 22, 3), np.float32)
+    Z = np.asarray(ME.procrustes_align_batched(jnp.asarray(Xz), jnp.asarray(Xz)))
+    assert np.all(np.isfinite(Z))
+
+
 def test_metric_stats_match_engine(smplh_model):
     """Device sufficient-statistics path == host MetricsEngine (the oracle).
 
