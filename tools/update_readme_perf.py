@@ -69,6 +69,12 @@ def render_block(r: dict) -> str:
             + (f", {r['eval_pass_first_warm_cache_s']} s for a fresh process "
                "with a warm XLA cache"
                if r.get("eval_pass_first_warm_cache_s") is not None else ""))
+    if r.get("eval_pass_program_ms"):
+        add("eval pass, device-resident program only (corpus pre-uploaded)",
+            f"**{r['eval_pass_program_ms']} ms** "
+            f"({_fmt_fps(r['eval_pass_program_fps'])} frames/s)",
+            "tunnel upload/RTT divided out — the per-pass cost on a "
+            "locally-attached chip")
     vs = r.get("vs_baseline")
     if vs:
         add("vs torch-CPU reference implementation (same architecture/regime, "
