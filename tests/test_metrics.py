@@ -124,6 +124,32 @@ def test_compute_angle_dist_rotmat(smplh_model):
     np.testing.assert_allclose(m["MPJAE [deg]"], np.rad2deg(delta), rtol=1e-3)
 
 
+def test_metric_stats_rowmajor_fallback(smplh_model, monkeypatch):
+    """EMPOSE_FK_LANES=0 metric path (row-major smplh_fk + local_to_global)
+    == the default lane-major kinematics, same stats either way."""
+    import jax
+    rng = np.random.RandomState(21)
+    smpl_dev = jax.device_put(smplh_model)
+    n, f = 2, 3
+    pose = (rng.randn(n, f, 63) * 0.2).astype(np.float32)
+    shape = (rng.randn(n, 10) * 0.3).astype(np.float32)
+    pose_hat = pose + rng.randn(n, f, 63).astype(np.float32) * 0.02
+    root = (rng.randn(n, f, 3) * 0.2).astype(np.float32)
+    root_hat = root + rng.randn(n, f, 3).astype(np.float32) * 0.01
+    lengths = np.asarray([f, f - 1], np.int32)
+    args = (jnp.asarray(pose), jnp.asarray(shape), jnp.asarray(pose_hat), None,
+            jnp.asarray(lengths), jnp.asarray(root), jnp.asarray(root_hat))
+
+    lane = jax.device_get(
+        ME.metric_stats_update(smpl_dev, ME.metric_stats_init(), *args))
+    monkeypatch.setattr(ME, "_USE_LANE_FK", False)
+    row = jax.device_get(
+        ME.metric_stats_update(smpl_dev, ME.metric_stats_init(), *args))
+    for k in lane:
+        np.testing.assert_allclose(lane[k], row[k], rtol=2e-4, atol=2e-4,
+                                   err_msg=k)
+
+
 def test_horn_procrustes_matches_svd():
     """Batched Horn-quaternion Procrustes == the vmapped det-corrected SVD
     path on random, reflection-dominant, and degenerate point sets — the
