@@ -330,6 +330,63 @@ def test_device_metrics_match_host_oracle(assets_env, trained_dir, monkeypatch):
 
 
 @pytest.mark.slow
+def test_batched_eval_mixed_length_corpus(assets_env):
+    """Batched whole-pass eval over sequences of DIFFERENT lengths ==
+    serial == host oracle: the common-frame padding + per-sequence masks
+    must not leak pad frames into any row."""
+    import jax
+    from empose_tpu.bodymodel.smplh import load_smplh
+    from empose_tpu.eval.harness import EvalSession, evaluate_real_sequences
+    from empose_tpu.nn.models import SensorSMPL, create_model
+
+    cfg = Configuration.from_dict(dict(
+        m_type="rnn", m_hidden_size=16, m_num_layers=1, m_estimate_shape=True,
+        m_shape_hidden_size=8, m_average_shape=True, use_marker_pos=True,
+        use_marker_ori=True, n_markers=12, window_size=8, lr=1e-3))
+    sensor = SensorSMPL(load_smplh())
+    model = create_model(cfg, sensor)
+    params, state = model.init(jax.random.PRNGKey(1))
+    session = EvalSession(model, params, state, sensor)
+
+    rng = np.random.RandomState(9)
+    m = 12
+    seqs = []
+    for i, f in enumerate((40, 17, 33)):  # deliberately unequal lengths
+        seqs.append({
+            "ids": [f"mixed_{i}"],
+            "poses": np.asarray(rng.randn(1, f, 66) * 0.2, np.float32),
+            "shapes": np.asarray(rng.randn(1, 10) * 0.2, np.float32),
+            "trans": np.asarray(rng.randn(1, f, 3) * 0.1, np.float32),
+            "seq_lengths": np.full(1, f, np.int32),
+            "marker_pos": np.asarray(rng.randn(1, f, m * 3), np.float32),
+            "marker_ori": np.asarray(rng.randn(1, f, m * 9), np.float32),
+            "marker_nor": np.asarray(rng.randn(1, f, m * 3), np.float32),
+            "marker_masks": np.ones((1, f, m), np.float32),
+            "offset_t": np.asarray(rng.randn(1, m, 3) * 0.02, np.float32),
+            "offset_r": np.broadcast_to(np.eye(3, dtype=np.float32),
+                                        (1, m, 3, 3)).copy(),
+        })
+
+    for ws in (8, None):
+        rows_b, overall_b = evaluate_real_sequences(session, seqs, ws,
+                                                    pad_multiple=16)
+        rows_s, _ = evaluate_real_sequences(session, seqs, ws,
+                                            pad_multiple=16, serial=True)
+        rows_h, overall_h = evaluate_real_sequences(session, seqs, ws,
+                                                    pad_multiple=16,
+                                                    host_metrics=True)
+        assert [r[0] for r in rows_b] == [r[0] for r in rows_h]
+        for rb, rs, rh in zip(rows_b, rows_s, rows_h):
+            np.testing.assert_allclose(rb[1:], rh[1:], rtol=5e-4, atol=5e-3,
+                                       err_msg=f"{ws} {rb[0]}")
+            np.testing.assert_allclose(rs[1:], rh[1:], rtol=5e-4, atol=5e-3,
+                                       err_msg=f"{ws} {rb[0]}")
+        for k in overall_h:
+            np.testing.assert_allclose(overall_b[k], overall_h[k], rtol=5e-4,
+                                       atol=5e-3, err_msg=k)
+
+
+@pytest.mark.slow
 def test_trainer_eval_metrics_match_host_engine(assets_env, trained_dir, monkeypatch):
     """Trainer.evaluate_valid/evaluate_test device-stats metrics == the host
     MetricsEngine oracle (the loops they replaced in r05).
