@@ -124,6 +124,7 @@ def test_compute_angle_dist_rotmat(smplh_model):
     np.testing.assert_allclose(m["MPJAE [deg]"], np.rad2deg(delta), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_metric_stats_rowmajor_fallback(smplh_model, monkeypatch):
     """EMPOSE_FK_LANES=0 metric path (row-major smplh_fk + local_to_global)
     == the default lane-major kinematics, same stats either way."""
